@@ -1,0 +1,129 @@
+"""3-D DWT parity vs a torch oracle that reproduces the reference conv path.
+
+The oracle builds the same grouped stride-2 conv3d / conv_transpose3d pipeline
+the reference uses (wavelet_transform/Torch_Wavelet_Transform.py), with filter
+banks from our own wavelets module (pywt is unavailable in this image).  It
+exists purely as a test oracle for semantic parity of encode/decode, padding,
+and un-padding — including odd spatial sizes and multi-level pyramids.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from latent_feature_grid_compression_tpu.wavelets import get_filter_bank, dwt_max_level
+from latent_feature_grid_compression_tpu.ops.dwt import (
+    WaveletFilter3d, encode_pyramid, decode_pyramid)
+
+
+class TorchOracle3d:
+    """Grouped-conv 3-D DWT with reference semantics (test oracle)."""
+
+    def __init__(self, wavelet):
+        fb = get_filter_bank(wavelet)
+        self.L = fb.filter_length
+
+        def ndim_filters(lo, hi):
+            f1 = [torch.tensor(lo, dtype=torch.float32),
+                  torch.tensor(hi, dtype=torch.float32)]
+            out = [f.unsqueeze(0) for f in f1]
+            for _ in range(2):
+                f1 = [f.unsqueeze(-1) for f in f1]
+                out = [a * b for a in f1 for b in out]
+            return torch.stack(out, dim=0).unsqueeze(1)
+
+        self.fwd = ndim_filters(fb.dec_lo[::-1].copy(), fb.dec_hi[::-1].copy())
+        self.rev = ndim_filters(fb.rec_lo.copy(), fb.rec_hi.copy())
+
+    def encode(self, data):
+        shape = np.asarray(data.shape[-3:])
+        base = (2 * self.L - 3) // 2
+        pad = np.full(6, base, dtype=int)
+        pad[1::2] += (shape % 2 == 1).astype(int)
+        x = F.pad(data, tuple(pad), mode='constant')
+        B, C = x.shape[:2]
+        w = self.fwd.repeat(C, 1, 1, 1, 1)
+        y = F.conv3d(x, w, stride=2, groups=C)
+        return y.reshape(B, C, 8, *y.shape[2:]), shape
+
+    def decode(self, coeffs, shape):
+        B, C = coeffs.shape[:2]
+        w = self.rev.repeat(C, 1, 1, 1, 1)
+        y = F.conv_transpose3d(coeffs.flatten(1, 2), w, groups=C, stride=2)
+        diff = np.asarray(y.shape[-3:]) - shape
+        sl = [slice(None), slice(None)] + [
+            slice(int(np.floor(d / 2)), -int(np.ceil(d / 2)) or None) for d in diff]
+        return y[tuple(sl)]
+
+
+@pytest.mark.parametrize('wavelet', ['db2', 'db3', 'haar'])
+@pytest.mark.parametrize('size', [(16, 16, 16), (15, 15, 15), (15, 16, 17)])
+def test_encode_matches_torch(wavelet, size):
+    rng = np.random.default_rng(42)
+    data = rng.standard_normal((2, 3, *size)).astype(np.float32)
+
+    ours, shape_ours = WaveletFilter3d(wavelet).encode(jnp.asarray(data))
+    theirs, shape_theirs = TorchOracle3d(wavelet).encode(torch.from_numpy(data))
+
+    assert tuple(shape_ours) == tuple(shape_theirs)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=2e-5)
+
+
+@pytest.mark.parametrize('wavelet', ['db2', 'haar'])
+@pytest.mark.parametrize('size', [(16, 16, 16), (15, 15, 15), (15, 16, 17)])
+def test_decode_matches_torch(wavelet, size):
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((1, 2, *size)).astype(np.float32)
+
+    filt = WaveletFilter3d(wavelet)
+    oracle = TorchOracle3d(wavelet)
+
+    coeffs, shape = filt.encode(jnp.asarray(data))
+    ours = filt.decode(coeffs, shape)
+    theirs = oracle.decode(torch.from_numpy(np.asarray(coeffs)), np.asarray(size))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=2e-5)
+
+
+@pytest.mark.parametrize('wavelet', ['db2', 'db4', 'haar'])
+@pytest.mark.parametrize('size', [(16, 16, 16), (15, 15, 15), (17, 15, 16)])
+def test_roundtrip(wavelet, size):
+    """encode -> decode is the identity (orthogonal filters, reference's
+    de-facto correctness test, tests/test.py:38-71)."""
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((1, 5, *size)).astype(np.float32)
+    filt = WaveletFilter3d(wavelet)
+    coeffs, shape = filt.encode(jnp.asarray(data))
+    rec = filt.decode(coeffs, shape)
+    np.testing.assert_allclose(np.asarray(rec), data, atol=1e-4)
+
+
+@pytest.mark.parametrize('size', [(16, 16, 16), (15, 15, 15)])
+def test_pyramid_roundtrip(size):
+    rng = np.random.default_rng(11)
+    vol = rng.standard_normal((5, *size)).astype(np.float32)
+    filt = WaveletFilter3d('db2')
+    coeffs, shapes = encode_pyramid(filt, jnp.asarray(vol))
+
+    n_levels = min(dwt_max_level(s, 4) for s in size)
+    assert len(coeffs) == n_levels + 1
+    assert coeffs[0].ndim == 4                  # lowpass (C, *s)
+    assert all(c.shape[1] == 7 for c in coeffs[1:])  # 7 detail subbands
+
+    rec = decode_pyramid(filt, coeffs, shapes)
+    np.testing.assert_allclose(np.asarray(rec), vol, atol=1e-4)
+
+
+def test_pyramid_shapes_grid15():
+    """grid_size=15 (shipped configs) exercises the odd-padding path."""
+    vol = np.random.default_rng(0).standard_normal((16, 15, 15, 15)).astype(np.float32)
+    filt = WaveletFilter3d('db2')
+    coeffs, shapes = encode_pyramid(filt, jnp.asarray(vol))
+    # 15 -> 9 -> 6 with db2; two levels (dwt_max_level(15,4)==2)
+    assert coeffs[0].shape == (16, 6, 6, 6)
+    assert coeffs[1].shape == (16, 7, 6, 6, 6)
+    assert coeffs[2].shape == (16, 7, 9, 9, 9)
+    assert shapes[0].tolist() == [9, 9, 9]
+    assert shapes[1].tolist() == [15, 15, 15]
