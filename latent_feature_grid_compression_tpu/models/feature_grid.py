@@ -1,0 +1,215 @@
+"""The latent-feature-grid scene-representation model, TPU-native.
+
+Functional re-design of reference model/Feature_Grid_Model.py: parameters are
+an explicit pytree (wavelet coefficients + MLP weights + gate params), the
+forward pass is a pure function, and all shape bookkeeping lives in a static,
+hashable :class:`ModelSpec` so every phase of training jits cleanly.
+
+Forward pipeline (reference Feature_Grid_Model.py:50-80):
+  decode gated wavelet pyramid -> trilinear feature fetch at input coords
+  (torch grid_sample align_corners=False semantics) -> concat
+  [coords, fourier(coords), features] -> n_layers x (Linear + SnakeAlt)
+  -> final Linear; eval path clamps the output to [-1, 1].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.dwt import WaveletFilter3d, encode_pyramid, decode_pyramid, dwt_max_level
+from ..ops.embedding import fourier_embed, fourier_out_dim
+from ..ops.interpolation import grid_sample_3d
+from ..ops.mlp import init_mlp, mlp_apply, snake_alt
+from . import gates as G
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static architecture description (hashable; safe as a jit static arg)."""
+
+    d_in: int = 3
+    hidden: int = 32
+    d_out: int = 1
+    num_layers: int = 4
+    n_freqs: int = 2
+    grid_features: int = 16
+    grid_size: int = 32
+    wavelet: str = 'db2'
+    drop_type: str = ''
+    drop_momentum: float = 0.025
+    # per-level pruning thresholds, lowpass first (reference's
+    # pruning_threshold_list hack, Dropout_Layer.py:6-18, made first-class)
+    thresholds: Tuple[float, ...] = ()
+    # spatial shapes to restore per decode level, coarsest first
+    level_shapes: Tuple[Tuple[int, int, int], ...] = ()
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.level_shapes)
+
+    @property
+    def mlp_in(self) -> int:
+        return self.d_in + fourier_out_dim(self.n_freqs, self.d_in) + self.grid_features
+
+    def filter(self) -> WaveletFilter3d:
+        return WaveletFilter3d(self.wavelet)
+
+
+@struct.dataclass
+class ModelParams:
+    """Trainable state: wavelet coefficients, MLP, gates."""
+
+    coeffs: Tuple[jax.Array, ...]          # [lowpass (F,g,g,g), details (F,7,s,s,s)...]
+    mlp_w: Tuple[jax.Array, ...]
+    mlp_b: Tuple[jax.Array, ...]
+    gates: Any = None                       # gate params pytree or None
+
+
+def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
+              grid_features=16, grid_size=32, wavelet='db2', drop_type='',
+              drop_momentum=0.025, drop_threshold=0.75,
+              pruning_threshold_list=None) -> ModelSpec:
+    """Build a ModelSpec, precomputing the wavelet pyramid level shapes."""
+    filt = WaveletFilter3d(wavelet)
+    num_levels = dwt_max_level(grid_size, filt.filter_length)
+    # level shapes: run the shape recursion of encode_pyramid without data
+    shapes = []
+    s = np.array([grid_size] * 3)
+    for _ in range(num_levels):
+        shapes.append(tuple(int(v) for v in s))
+        pad_lo = (2 * filt.filter_length - 3) // 2
+        s = (s + pad_lo * 2 + (s % 2) - filt.filter_length) // 2 + 1
+    level_shapes = tuple(shapes[::-1])
+    n_tensors = num_levels + 1
+    if pruning_threshold_list:
+        # reference assigns list entries to gate instances in construction
+        # order == our coefficient order (lowpass, coarsest detail, ...).
+        tl = list(pruning_threshold_list)
+        thresholds = tuple(tl[i] if i < len(tl) else drop_threshold
+                           for i in range(n_tensors))
+    else:
+        thresholds = (drop_threshold,) * n_tensors
+    return ModelSpec(d_in=d_in, hidden=hidden, d_out=d_out,
+                     num_layers=num_layers, n_freqs=n_freqs,
+                     grid_features=grid_features, grid_size=grid_size,
+                     wavelet=wavelet, drop_type=drop_type,
+                     drop_momentum=drop_momentum, thresholds=thresholds,
+                     level_shapes=level_shapes)
+
+
+def init_model(key: jax.Array, spec: ModelSpec):
+    """Initialize (params, gate_aux).
+
+    Grid init: U(0,1) volume -> multi-level DWT (model_utils.py:27-28 +
+    Feature_Grid_Model.py:83-99).  MLP init: torch Linear default.
+    """
+    k_grid, k_mlp, k_gate = jax.random.split(key, 3)
+    grid = jax.random.uniform(
+        k_grid, (spec.grid_features,) + (spec.grid_size,) * 3, jnp.float32)
+    coeffs, shapes = encode_pyramid(spec.filter(), grid, spec.num_levels)
+    assert tuple(tuple(int(v) for v in s) for s in shapes) == spec.level_shapes
+
+    mlp_w, mlp_b = init_mlp(k_mlp, spec.mlp_in, spec.hidden, spec.d_out,
+                            spec.num_layers)
+    gate_params, gate_aux = G.init_gates(
+        k_gate, spec.drop_type, [c.shape for c in coeffs], spec.drop_momentum)
+    params = ModelParams(tuple(coeffs), tuple(mlp_w), tuple(mlp_b), gate_params)
+    return params, gate_aux
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def decode_volume(spec: ModelSpec, params: ModelParams, *,
+                  train_gates: bool = False,
+                  rng: Optional[jax.Array] = None,
+                  masks: Optional[Tuple[jax.Array, ...]] = None) -> jax.Array:
+    """Gated inverse DWT -> (F, G, G, G) spatial feature grid.
+
+    Reference Feature_Grid_Model.py:102-108.  Gating modes:
+      train_gates=True : apply the differentiable gate per level
+      masks is not None: multiply by frozen binary masks (post-bake phase,
+                         the d_mask path of the reference gates)
+      neither          : identity (dense model / after remove_drop_layers)
+    """
+    coeffs = params.coeffs
+    if train_gates and spec.drop_type:
+        keys = (jax.random.split(rng, len(coeffs)) if rng is not None
+                else [None] * len(coeffs))
+        coeffs = tuple(
+            G.apply_gate(spec.drop_type, params.gates, i, c, keys[i],
+                         spec.thresholds[i])
+            for i, c in enumerate(coeffs))
+    elif masks is not None:
+        coeffs = tuple(c * m[None] for c, m in zip(coeffs, masks))
+    return decode_pyramid(spec.filter(), list(coeffs), np.asarray(spec.level_shapes))
+
+
+def apply_model(spec: ModelSpec, params: ModelParams, coords: jax.Array, *,
+                train: bool = True,
+                train_gates: bool = False,
+                rng: Optional[jax.Array] = None,
+                masks: Optional[Tuple[jax.Array, ...]] = None) -> jax.Array:
+    """Full forward pass at (N, d_in) normalized coordinates -> (N, d_out).
+
+    ``train=False`` additionally clamps to [-1, 1]
+    (Feature_Grid_Model.py:77-78).
+    """
+    grid = decode_volume(spec, params, train_gates=train_gates, rng=rng,
+                         masks=masks)
+    feats = grid_sample_3d(grid, coords)                       # (N, F)
+    emb = fourier_embed(coords, spec.n_freqs)
+    x = jnp.concatenate([coords, emb, feats], axis=-1)
+    out = mlp_apply(list(params.mlp_w), list(params.mlp_b), x, snake_alt)
+    if not train:
+        out = jnp.clip(out, -1.0, 1.0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Baking / pruning (between training phases; host-level, not in the hot loop)
+# ---------------------------------------------------------------------------
+
+def save_dropvalues_on_grid(spec: ModelSpec, params: ModelParams, gate_aux):
+    """Bake gate values into the grid; returns (params', masks, zeros).
+
+    Reference Feature_Grid_Model.py:110-128: multiplies each coefficient
+    tensor with gate*mask, counts resulting zeros, and discounts the
+    binary-mask storage cost (one bit per gate value => size/32 floats).
+    ``zeros`` is that discounted count (a float, can be negative).
+    ``masks`` are the frozen per-level keep-masks applied during finetuning.
+    """
+    if not spec.drop_type:
+        return params, None, 0.0
+    masks = G.pruning_masks(spec.drop_type, params.gates, gate_aux,
+                            spec.thresholds)
+    baked = G.bake_values(spec.drop_type, params.gates, gate_aux,
+                          params.coeffs, spec.thresholds)
+    zeros = sum(int(c.size - jnp.count_nonzero(c)) for c in baked)
+    mask_bits = G.gate_size(spec.drop_type, params.gates)
+    zeros_discounted = float(zeros) - mask_bits / 32.0
+    return params.replace(coeffs=tuple(baked)), masks, zeros_discounted
+
+
+def remove_drop_layers(spec: ModelSpec, params: ModelParams,
+                       masks: Optional[Tuple[jax.Array, ...]]) -> ModelParams:
+    """Hard-prune: coeffs *= mask, gates dropped (Feature_Grid_Model.py:130-140)."""
+    if masks is None:
+        return params
+    coeffs = tuple(c * m[None] for c, m in zip(params.coeffs, masks))
+    return params.replace(coeffs=coeffs, gates=None)
+
+
+def num_net_params(params: ModelParams) -> int:
+    """Parameter count excluding gates (training.py:25-27 'drop' filter)."""
+    n = sum(c.size for c in params.coeffs)
+    n += sum(w.size for w in params.mlp_w)
+    n += sum(b.size for b in params.mlp_b)
+    return int(n)
