@@ -1,0 +1,164 @@
+"""Top-level training entry (reference: training/training.py:184-243).
+
+training(cfg) -> info dict:
+  load + normalize volume -> build model -> phase 1 (gates + drop loss,
+  2/3*max_pass) -> bake gate values into the grid -> phase 2 (finetune at
+  lr/10 with frozen masks, 1/3*max_pass) -> hard prune -> full-volume eval,
+  compression accounting, checkpoint + packed binary + info/config artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig, write_dict
+from ..data.volume import load_volume, VolumeMeta
+from ..models.feature_grid import (make_spec, init_model,
+                                   save_dropvalues_on_grid, remove_drop_layers,
+                                   num_net_params)
+from ..models import gates as G
+from ..models.variance import init_variance_model
+from ..eval.reconstruct import tiled_net_out
+from ..io.checkpoint import save_checkpoint, load_checkpoint
+from ..io.container import store_model_parameters
+from .trainer import (make_phase_spec, init_train_state, solve_phase)
+
+
+def _make_writer(cfg: TrainConfig):
+    try:
+        from tensorboardX import SummaryWriter
+    except ImportError:
+        return None
+    if cfg.Tensorboard_log_dir:
+        writer = SummaryWriter(cfg.Tensorboard_log_dir)
+        write_dict(cfg.to_dict(), 'config.txt', cfg.Tensorboard_log_dir)
+    else:
+        writer = SummaryWriter('runs/' + cfg.expname)
+    return writer
+
+
+def evaluate_model_training(spec, params, meta, volume_np, zeros, cfg,
+                            writer=None, verbose=True, write_vols=True):
+    """Final evaluation + artifact dump (training/training.py:19-68)."""
+    experiment_path = os.path.abspath(os.getcwd()) + cfg.basedir + cfg.expname + '/'
+    os.makedirs(experiment_path, exist_ok=True)
+
+    psnr, l1_diff, mse, rmse = tiled_net_out(
+        spec, params, meta, gt_vol=volume_np, evaluate=True,
+        write_vols=write_vols,
+        filename=os.path.join(experiment_path, 'vol') if write_vols else 'vol')
+
+    n_params = num_net_params(params)
+    compression_ratio = meta.n_voxels / (n_params - zeros)
+    compr_rmse = compression_ratio / rmse if rmse > 0 else float('inf')
+
+    if verbose:
+        print("Trained Model:", n_params, "parameters;", zeros,
+              "of them Zero;", compression_ratio, "compression ratio")
+
+    info = {
+        'volume_size': list(meta.resolution),
+        'volume_num_voxels': meta.n_voxels,
+        'num_parameters': n_params,
+        'num_zeros': zeros,
+        'compression_ratio': compression_ratio,
+        'psnr': psnr,
+        'l1_diff': l1_diff,
+        'mse': mse,
+        'rmse': rmse,
+        'compr_rmse': compr_rmse,
+    }
+
+    if writer is not None:
+        writer.add_scalar('compression_ratio', compression_ratio)
+        writer.add_scalar('zeroes', zeros)
+        writer.add_scalar('psnr', psnr)
+        writer.add_scalar('mse', mse)
+        writer.add_scalar('rmse', rmse)
+        writer.add_scalar('compr_rmse', compr_rmse)
+
+    ckpt_path = os.path.join(experiment_path, 'model.npz')
+    save_checkpoint(ckpt_path, params)
+    cfg.checkpoint_path = ckpt_path
+
+    bin_path = os.path.join(experiment_path, 'binary_model_file')
+    store_model_parameters(spec, params, bin_path)
+    cfg.binary_checkpoint_path = bin_path
+
+    write_dict(info, 'info.txt', experiment_path)
+    write_dict(cfg.to_dict(), 'config.txt', experiment_path)
+    return info
+
+
+def training(cfg: TrainConfig, verbose: bool = True,
+             volume_np: Optional[np.ndarray] = None,
+             write_vols: bool = True) -> dict:
+    """Full two-phase training run; returns the info dict."""
+    if volume_np is None:
+        volume_np = load_volume(cfg.data)
+    meta = VolumeMeta(tuple(volume_np.shape))
+    volume = jnp.asarray(volume_np)
+
+    spec = make_spec(d_in=cfg.d_in, hidden=cfg.n_hidden_size, d_out=cfg.d_out,
+                     num_layers=cfg.n_layers, n_freqs=cfg.n_embedding_freq,
+                     grid_features=cfg.grid_features, grid_size=cfg.grid_size,
+                     wavelet=cfg.wavelet_filter, drop_type=cfg.drop_type,
+                     drop_momentum=cfg.drop_momentum,
+                     drop_threshold=cfg.drop_threshold,
+                     pruning_threshold_list=cfg.pruning_threshold_list)
+
+    key = jax.random.key(cfg.seed)
+    k_model, k_var, k_train = jax.random.split(key, 3)
+    params, gate_aux = init_model(k_model, spec)
+    if cfg.checkpoint_path:
+        params, gate_aux = load_checkpoint(cfg.checkpoint_path, params, gate_aux)
+
+    var_params = None
+    if G.is_variational(cfg.drop_type) and 'dynamic' in cfg.drop_type:
+        var_params = init_variance_model(k_var, cfg.d_in, 1, 4, 32)
+
+    writer = _make_writer(cfg)
+
+    # --- phase 1: gated training (training/training.py:221-226) ------------
+    ph1 = make_phase_spec(cfg, spec, meta, phase=1)
+    state = init_train_state(params, var_params, gate_aux, lr=cfg.lr,
+                             shadow_lr=cfg.lr, key=k_train,
+                             weight_dkl=cfg.lambda_drop_loss)
+    state = solve_phase(ph1, state, volume, cfg.steps_per_chunk,
+                        writer=writer, verbose=verbose)
+    params, gate_aux = state.params, state.gate_aux
+
+    # --- bake gates into the grid (Feature_Grid_Model.py:110-128) ----------
+    params, masks, zeros = save_dropvalues_on_grid(spec, params, gate_aux)
+
+    # --- phase 2: finetune at lr/10 with frozen masks ----------------------
+    ph2 = make_phase_spec(cfg, spec, meta, phase=2)
+    state2 = init_train_state(params, state.var_params, gate_aux,
+                              lr=cfg.lr / 10.0,
+                              shadow_lr=float(state.shadow_lr),
+                              key=jax.random.fold_in(k_train, 1),
+                              weight_dkl=float(state.weight_dkl))
+    state2 = init_train_state_carryover(state2, state)
+    state2 = solve_phase(ph2, state2, volume, cfg.steps_per_chunk,
+                         masks=masks, writer=writer, verbose=verbose)
+    params = state2.params
+
+    # --- hard prune + evaluate ---------------------------------------------
+    params = remove_drop_layers(spec, params, masks)
+    info = evaluate_model_training(spec, params, meta, volume_np, zeros, cfg,
+                                   writer=writer, verbose=verbose,
+                                   write_vols=write_vols)
+    if writer is not None:
+        writer.close()
+    return info
+
+
+def init_train_state_carryover(state2, state1):
+    """Carry the SmallifyDecayStrategy plateau state across phases (the
+    reference reuses the same strategy object, learning_rate_decay.py:35-57)."""
+    return state2.replace(last_loss=state1.last_loss, no_gain=state1.no_gain)

@@ -1,0 +1,358 @@
+"""Two-phase training loop, fully on-device.
+
+TPU-native re-design of reference training/training.py:
+
+* No DataLoader: positions are sampled on-device inside the jitted step
+  (uniform IID voxel indices, the distribution of IndexDataset.__getitem__,
+  data/IndexDataset.py:90-96).
+* The whole inner loop — sampling, gated decode, forward, GT gather, loss,
+  Adam, Smallify EMA tracking, lr-decay strategy, dkl ramp — is one jitted
+  ``lax.scan`` over `steps_per_chunk` steps, so there is exactly one host
+  dispatch per chunk instead of per batch.
+* Epoch ("volume pass") accounting is reproduced exactly: each step covers
+  batch_size*sample_size voxels; the strategy triggers on integer pass
+  boundaries (training/training.py:112-114, learning_rate_decay.py).
+* Phase structure matches training/training.py:221-239: phase 1 =
+  2/3*max_pass with gates + drop loss; bake gate values into the grid; phase
+  2 = 1/3*max_pass at lr/10 with frozen binary masks; hard prune.
+  Reference quirk preserved: the lr-decay strategy object in phase 2 still
+  points at the *phase-1* optimizer, so its decays never reach the live
+  optimizer — phase 2 trains at constant lr/10 while the strategy's plateau
+  stop logic (SmallifyDecayStrategy) keeps working on a shadow lr.
+* Adam is hand-rolled with torch semantics (bias-corrected moments,
+  eps=1e-8 outside the sqrt) so lr can live in the scan carry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import TrainConfig
+from ..data.volume import VolumeMeta
+from ..models import gates as G
+from ..models.feature_grid import (ModelSpec, ModelParams, apply_model)
+from ..models.variance import apply_variance_model
+from . import losses as L
+
+
+# ---------------------------------------------------------------------------
+# State
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class TrainState:
+    params: ModelParams
+    var_params: Any                   # variance-model pytree or None
+    m: Any                            # Adam first moment (mirrors trainables)
+    v: Any                            # Adam second moment
+    step: jax.Array                   # int32, Adam t and voxel accounting
+    lr: jax.Array                     # applied learning rate
+    shadow_lr: jax.Array              # lr as seen by the decay strategy
+    last_loss: jax.Array              # SmallifyDecayStrategy state
+    no_gain: jax.Array                # int32
+    stop: jax.Array                   # bool
+    weight_dkl: jax.Array             # variational ramp state
+    gate_aux: Any                     # SmallifyAux or None
+    key: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PhaseSpec:
+    """Static per-phase configuration (hashable; closed over by the jit)."""
+    spec: ModelSpec
+    drop_type: str                    # '' in the finetune phase
+    batch_n: int                      # batch_size * sample_size
+    n_voxels: int
+    resolution: Tuple[int, int, int]
+    max_pass: float                   # fractional phase budget
+    # loss weights
+    lambda_drop_loss: float
+    lambda_weight_loss: float
+    weight_dkl_multiplier: float
+    variational_sigma: float
+    # lr strategy
+    use_smallify_decay: bool
+    pass_decay: int
+    lr_decay: float
+    lr_stop: float
+    decay_applies_to_lr: bool         # False in phase 2 (reference quirk)
+    use_masks: bool                   # phase-2 frozen-mask multiply
+
+    @property
+    def variational(self) -> bool:
+        return G.is_variational(self.drop_type)
+
+    @property
+    def dynamic_variational(self) -> bool:
+        return self.variational and 'dynamic' in self.drop_type
+
+
+def init_adam_like(tree):
+    zeros = jax.tree.map(jnp.zeros_like, tree)
+    return zeros
+
+
+def _adam_update(params, grads, m, v, t, lr,
+                 b1=0.9, b2=0.999, eps=1e-8):
+    """torch.optim.Adam step (training/training.py:199)."""
+    m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, m, grads)
+    v = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g, v, grads)
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+    params = jax.tree.map(
+        lambda p, mm, vv: p - lr * (mm / bc1) / (jnp.sqrt(vv / bc2) + eps),
+        params, m, v)
+    return params, m, v
+
+
+# ---------------------------------------------------------------------------
+# One training step
+# ---------------------------------------------------------------------------
+
+def make_train_step(ph: PhaseSpec, masks):
+    """Build the per-step function for lax.scan.  ``masks`` (tuple of arrays
+    or None) is closed over; they are constants during a phase."""
+    spec = ph.spec
+    res = np.asarray(ph.resolution, dtype=np.int32)
+    max_idx = (res - 1).astype(np.float32)
+    scales = max_idx / max_idx.max()
+    N = ph.batch_n
+    inv_voxels = 1.0 / float(ph.n_voxels)
+    batch_scale = float(ph.n_voxels) / float(N)
+    train_gates = bool(ph.drop_type)
+
+    def step_fn(state: TrainState, volume: jax.Array):
+        key, k_pos, k_gate = jax.random.split(state.key, 3)
+
+        # --- on-device IID voxel sampling (IndexDataset.__getitem__) -------
+        pos = jax.random.randint(k_pos, (N, 3), 0, res[None, :])   # int32
+        norm = (pos.astype(jnp.float32) / max_idx[None]) * 2.0 - 1.0
+        norm = norm * scales[None]
+
+        gt = volume[pos[:, 0], pos[:, 1], pos[:, 2]]               # exact fetch
+
+        weight_dkl = state.weight_dkl
+        if ph.variational and train_gates:
+            # ramp happens at the top of the loss call
+            # (Variational_Dropout_Layer.py:56-58)
+            weight_dkl = L.ramp_weight_dkl(weight_dkl, ph.weight_dkl_multiplier)
+
+        def loss_fn(trainables):
+            params, var_params = trainables
+            pred = apply_model(spec, params, norm, train=True,
+                               train_gates=train_gates, rng=k_gate,
+                               masks=masks if ph.use_masks else None)
+            pred = pred[:, 0]
+            if ph.variational and train_gates:
+                if ph.dynamic_variational:
+                    log_sigma = apply_variance_model(var_params, norm)[:, 0]
+                else:
+                    log_sigma = jnp.full_like(pred, ph.variational_sigma)
+                loss, ll, mse, dkl, wsum = L.variational_loss(
+                    params, pred, gt, log_sigma, weight_dkl,
+                    ph.lambda_weight_loss, batch_scale)
+                aux = {'loss': loss, 'volume_loss': mse, 'Log_Likelyhood_loss': ll,
+                       'DKL_loss': dkl, 'Weight_loss': wsum, 'drop_loss': dkl}
+            else:
+                vol_loss = jnp.mean((pred - gt) ** 2)
+                if train_gates:
+                    d_loss = L.smallify_family_loss(
+                        ph.drop_type, params, ph.lambda_drop_loss,
+                        ph.lambda_weight_loss)
+                else:
+                    d_loss = jnp.zeros_like(vol_loss)
+                loss = vol_loss + d_loss
+                aux = {'loss': loss, 'volume_loss': vol_loss, 'drop_loss': d_loss,
+                       'Log_Likelyhood_loss': jnp.zeros_like(loss),
+                       'DKL_loss': jnp.zeros_like(loss),
+                       'Weight_loss': jnp.zeros_like(loss)}
+            return loss, aux
+
+        trainables = (state.params, state.var_params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainables)
+
+        t = state.step + 1
+        new_tr, m, v = _adam_update(trainables, grads, state.m, state.v,
+                                    t.astype(jnp.float32), state.lr)
+        params, var_params = new_tr
+
+        # --- Smallify EMA sign-variance tracking (on-device) --------------
+        gate_aux = state.gate_aux
+        if ph.drop_type == 'smallify' and train_gates:
+            gate_aux = G.smallify_update_tracker(
+                gate_aux, state.params.gates, spec.drop_momentum)
+
+        # --- volume-pass accounting + lr strategy --------------------------
+        prior_passes = jnp.floor(state.step.astype(jnp.float32) * N * inv_voxels)
+        vp = t.astype(jnp.float32) * N * inv_voxels
+        cur_int = jnp.floor(vp)
+        boundary = prior_passes != cur_int
+
+        lr, shadow_lr = state.lr, state.shadow_lr
+        last_loss, no_gain, stop = state.last_loss, state.no_gain, state.stop
+        if ph.use_smallify_decay:
+            # learning_rate_decay.py:42-57
+            improved = (last_loss != last_loss) | (loss < last_loss)  # NaN==unset
+            new_last = jnp.where(improved, loss, last_loss)
+            new_no_gain = jnp.where(improved, 0, no_gain + 1)
+            plateau = new_no_gain == ph.pass_decay
+            can_decay = shadow_lr > ph.lr_stop
+            decay_now = plateau & can_decay
+            stop_now = plateau & (~can_decay)
+            shadow_lr2 = jnp.where(decay_now, shadow_lr * ph.lr_decay, shadow_lr)
+            lr2 = jnp.where(decay_now & ph.decay_applies_to_lr,
+                            lr * ph.lr_decay, lr)
+            new_no_gain = jnp.where(plateau, 0, new_no_gain)
+            last_loss = jnp.where(boundary, new_last, last_loss)
+            no_gain = jnp.where(boundary, new_no_gain, no_gain)
+            lr = jnp.where(boundary, lr2, lr)
+            shadow_lr = jnp.where(boundary, shadow_lr2, shadow_lr)
+            stop = stop | (boundary & stop_now)
+        else:
+            # NeurcompDecayStrategy (learning_rate_decay.py:26-31)
+            decay_now = boundary & (jnp.mod(cur_int + 1, ph.pass_decay) == 0)
+            factor = jnp.where(decay_now, ph.lr_decay, 1.0)
+            shadow_lr = shadow_lr * factor
+            lr = lr * jnp.where(ph.decay_applies_to_lr, factor, 1.0)
+
+        # per-step break once the phase budget is reached
+        # (training/training.py:178-179)
+        stop = stop | (cur_int >= ph.max_pass)
+
+        new_state = TrainState(
+            params=params, var_params=var_params, m=m, v=v, step=t,
+            lr=lr, shadow_lr=shadow_lr, last_loss=last_loss, no_gain=no_gain,
+            stop=stop, weight_dkl=weight_dkl, gate_aux=gate_aux, key=key)
+
+        metrics = dict(aux)
+        metrics['lr'] = state.lr
+        metrics['volume_passes'] = vp
+        return new_state, metrics
+
+    def guarded_step(state: TrainState, volume: jax.Array):
+        """No-op once `stop` is set (mirrors the per-step break)."""
+        def idle(s, _):
+            zero = {k: jnp.zeros(()) for k in
+                    ['loss', 'volume_loss', 'drop_loss', 'Log_Likelyhood_loss',
+                     'DKL_loss', 'Weight_loss', 'lr', 'volume_passes']}
+            return s, zero
+        return jax.lax.cond(state.stop, idle, step_fn, state, volume)
+
+    return guarded_step
+
+
+def make_chunk_runner(ph: PhaseSpec, masks, steps_per_chunk: int):
+    step = make_train_step(ph, masks)
+
+    @jax.jit
+    def run_chunk(state: TrainState, volume: jax.Array):
+        return jax.lax.scan(lambda s, _: step(s, volume), state,
+                            None, length=steps_per_chunk)
+
+    return run_chunk
+
+
+# ---------------------------------------------------------------------------
+# Phase orchestration (host level)
+# ---------------------------------------------------------------------------
+
+def make_phase_spec(cfg: TrainConfig, spec: ModelSpec, meta: VolumeMeta, *,
+                    phase: int) -> PhaseSpec:
+    two_thirds = cfg.max_pass * (2.0 / 3.0)
+    one_third = cfg.max_pass * (1.0 / 3.0)
+    return PhaseSpec(
+        spec=spec,
+        drop_type=cfg.drop_type if phase == 1 else '',
+        batch_n=cfg.batch_size * cfg.sample_size,
+        n_voxels=meta.n_voxels,
+        resolution=tuple(meta.resolution),
+        max_pass=two_thirds if phase == 1 else one_third,
+        lambda_drop_loss=cfg.lambda_drop_loss,
+        lambda_weight_loss=cfg.lambda_weight_loss,
+        weight_dkl_multiplier=cfg.weight_dkl_multiplier,
+        variational_sigma=cfg.variational_sigma,
+        use_smallify_decay=cfg.smallify_decay != 0,
+        pass_decay=cfg.smallify_decay if cfg.smallify_decay != 0 else cfg.pass_decay,
+        lr_decay=0.1 if cfg.smallify_decay != 0 else cfg.lr_decay,
+        lr_stop=1e-7,
+        decay_applies_to_lr=(phase == 1),
+        use_masks=(phase == 2 and bool(cfg.drop_type)),
+    )
+
+
+def init_train_state(params: ModelParams, var_params, gate_aux, lr: float,
+                     shadow_lr: float, key: jax.Array,
+                     weight_dkl: float) -> TrainState:
+    trainables = (params, var_params)
+    return TrainState(
+        params=params, var_params=var_params,
+        m=init_adam_like(trainables), v=init_adam_like(trainables),
+        step=jnp.zeros((), jnp.int32),
+        lr=jnp.asarray(lr, jnp.float32),
+        shadow_lr=jnp.asarray(shadow_lr, jnp.float32),
+        last_loss=jnp.asarray(jnp.nan, jnp.float32),
+        no_gain=jnp.zeros((), jnp.int32),
+        stop=jnp.zeros((), bool),
+        weight_dkl=jnp.asarray(weight_dkl, jnp.float32),
+        gate_aux=gate_aux, key=key)
+
+
+def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
+                steps_per_chunk: int, masks=None, writer=None,
+                metric_cb=None, verbose: bool = True) -> TrainState:
+    """Run one phase until its pass budget is exhausted or early stop."""
+    run_chunk = make_chunk_runner(ph, masks, steps_per_chunk)
+    N, V = ph.batch_n, ph.n_voxels
+    # steps needed until floor(t*N/V) >= max_pass (deterministic upper bound)
+    import math as _math
+    t_max = _math.ceil((_math.floor(ph.max_pass) + 1) * V / N) + 1
+    variational = ph.variational and bool(ph.drop_type)
+    while True:
+        start_step = int(state.step)
+        if start_step >= t_max:
+            break
+        state, metrics = run_chunk(state, volume)
+        metrics = jax.device_get(metrics)
+        stopped = bool(state.stop)
+        if writer is not None or metric_cb is not None or verbose:
+            _emit_metrics(metrics, start_step, variational, writer, metric_cb,
+                          verbose, ph)
+        if stopped:
+            break
+    return state
+
+
+def _emit_metrics(metrics, start_step, variational, writer, metric_cb,
+                  verbose, ph):
+    n = len(metrics['loss'])
+    mask = metrics['lr'] > 0  # idle steps have lr==0
+    for i in range(n):
+        if not mask[i]:
+            continue
+        it = start_step + i + 1
+        if writer is not None:
+            writer.add_scalar('loss', float(metrics['loss'][i]), it)
+            writer.add_scalar('volume_loss', float(metrics['volume_loss'][i]), it)
+            if variational:
+                writer.add_scalar('Log_Likelyhood_loss',
+                                  float(metrics['Log_Likelyhood_loss'][i]), it)
+                writer.add_scalar('DKL_loss', float(metrics['DKL_loss'][i]), it)
+                writer.add_scalar('Weight_loss', float(metrics['Weight_loss'][i]), it)
+            else:
+                writer.add_scalar('drop_loss', float(metrics['drop_loss'][i]), it)
+    if metric_cb is not None:
+        metric_cb(metrics)
+    if verbose and n:
+        last = n - 1
+        while last > 0 and not mask[last]:
+            last -= 1
+        print(f"Pass [{metrics['volume_passes'][last]:.4f} / "
+              f"{ph.max_pass:.1f}]: volume loss: {metrics['volume_loss'][last]:.4f}, "
+              f"complete_loss: {metrics['loss'][last]:.4f}")

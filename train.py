@@ -1,0 +1,17 @@
+#!/usr/bin/env python
+"""Training CLI (reference: Feature_Grid_Training.py).
+
+Usage:
+    python train.py --config experiment-config-files/test_impl_test.txt \
+        [--lr 0.008 --drop_type smallify ...]
+
+Accepts the reference's flat ``key = value`` config files unchanged.
+"""
+
+from latent_feature_grid_compression_tpu.config import config_from_args
+from latent_feature_grid_compression_tpu.train import training
+
+if __name__ == '__main__':
+    cfg = config_from_args()
+    print("Finished parsing arguments, starting training")
+    training(cfg)
