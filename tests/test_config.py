@@ -1,0 +1,55 @@
+"""Config parsing: reference config files load unchanged."""
+
+import os
+
+import pytest
+
+from latent_feature_grid_compression_tpu.config import (
+    TrainConfig, load_config, dict_from_file, write_dict, config_from_args)
+
+REF_CONFIGS = '/root/reference/experiment-config-files'
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIGS), reason='no reference configs')
+def test_reference_config_files_parse():
+    cfg = load_config(os.path.join(REF_CONFIGS, 'test_impl_test.txt'))
+    assert cfg.expname == 'testvol_'
+    assert cfg.data == 'datasets/test_vol.npy'
+    assert cfg.grid_size == 15 and cfg.grid_features == 16
+    assert cfg.drop_type == 'smallify'
+    assert cfg.lr == 0.008 and cfg.max_pass == 50
+    assert cfg.lambda_drop_loss == 1e-8
+    assert cfg.batch_size == 1024 and cfg.sample_size == 16
+
+    cfg2 = load_config(os.path.join(REF_CONFIGS, 'mhd_p_smallify.txt'))
+    assert cfg2.batch_size == 2048 and cfg2.grid_size == 15
+    assert cfg2.smallify_decay == 0
+
+
+def test_write_and_reparse_roundtrip(tmp_path):
+    cfg = TrainConfig(expname='abc', lr=0.004, grid_size=17,
+                      drop_type='masked_straight_through')
+    write_dict(cfg.to_dict(), 'config.txt', str(tmp_path))
+    d = dict_from_file(str(tmp_path / 'config.txt'))
+    assert d['expname'] == 'abc'
+    assert d['lr'] == 0.004
+    assert d['grid_size'] == 17
+    assert d['drop_type'] == 'masked_straight_through'
+
+    cfg2 = load_config(str(tmp_path / 'config.txt'))
+    assert cfg2.lr == cfg.lr and cfg2.grid_size == cfg.grid_size
+
+
+def test_cli_overrides_config(tmp_path):
+    write_dict({'expname': 'x', 'lr': 0.1, 'grid_size': 10}, 'c.txt', str(tmp_path))
+    cfg = config_from_args(['--config', str(tmp_path / 'c.txt'),
+                            '--lr', '0.5', '--drop_type', ''])
+    assert cfg.lr == 0.5          # CLI wins
+    assert cfg.grid_size == 10    # from file
+    assert cfg.drop_type == ''
+
+
+def test_threshold_list_parsing(tmp_path):
+    write_dict({'pruning_threshold_list': [0.6, 0.7, 0.8]}, 'c.txt', str(tmp_path))
+    d = dict_from_file(str(tmp_path / 'c.txt'))
+    assert d['pruning_threshold_list'] == [0.6, 0.7, 0.8]

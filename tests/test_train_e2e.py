@@ -1,0 +1,113 @@
+"""End-to-end training tests: PSNR rises, pruning produces zeros, artifacts
+round-trip (the reference's test_impl_test.txt workflow in miniature)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from latent_feature_grid_compression_tpu.config import TrainConfig
+from latent_feature_grid_compression_tpu.train import training
+from latent_feature_grid_compression_tpu.io.container import restore_model
+from latent_feature_grid_compression_tpu.io.checkpoint import load_checkpoint
+from latent_feature_grid_compression_tpu.models import make_spec, init_model
+from latent_feature_grid_compression_tpu.data.volume import VolumeMeta
+from latent_feature_grid_compression_tpu.eval.reconstruct import tiled_net_out
+
+
+def synthetic_volume(n=24):
+    x, y, z = np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing='ij')
+    vol = np.sin(3 * x) * np.cos(2 * y) * np.sin(2 * z)
+    return vol.astype(np.float32)
+
+
+def base_cfg(tmp_path, **kw):
+    d = dict(expname='e2e', data='', basedir=f'/{os.path.relpath(tmp_path)}/',
+             drop_type='', max_pass=6, batch_size=128, sample_size=16,
+             grid_size=8, grid_features=8, n_hidden_size=16, n_layers=2,
+             steps_per_chunk=50, lr=0.01)
+    d.update(kw)
+    return TrainConfig(**d)
+
+
+def test_dense_training_learns(tmp_path):
+    vol = synthetic_volume()
+    cfg = base_cfg(tmp_path)
+    info = training(cfg, verbose=False, volume_np=vol, write_vols=False)
+    assert info['psnr'] > 20.0, info
+    assert info['num_zeros'] == 0.0
+    assert info['compression_ratio'] == pytest.approx(
+        vol.size / info['num_parameters'])
+    # artifacts exist
+    exp = os.path.abspath(os.getcwd()) + cfg.basedir + cfg.expname + '/'
+    for fname in ['model.npz', 'binary_model_file', 'binary_model_file_mask.bnr',
+                  'info.txt', 'config.txt']:
+        assert os.path.exists(os.path.join(exp, fname)), fname
+
+
+def test_smallify_training_prunes_and_restores(tmp_path):
+    vol = synthetic_volume()
+    cfg = base_cfg(tmp_path, expname='e2e_smallify', drop_type='smallify',
+                   lambda_drop_loss=3e-5, max_pass=9)
+    info = training(cfg, verbose=False, volume_np=vol, write_vols=False)
+    assert info['num_zeros'] > 0, "smallify should prune some coefficients"
+    assert info['psnr'] > 15.0
+
+    # binary restore reproduces the stored model's reconstruction
+    spec2, params2 = restore_model(cfg.binary_checkpoint_path)
+    meta = VolumeMeta(vol.shape)
+    psnr2, _, _, _ = tiled_net_out(spec2, params2, meta, gt_vol=vol,
+                                   evaluate=True, write_vols=False)
+    assert abs(psnr2 - info['psnr']) < 2.0, (psnr2, info['psnr'])
+
+
+def test_variational_training_runs(tmp_path):
+    vol = synthetic_volume()
+    cfg = base_cfg(tmp_path, expname='e2e_var', drop_type='static_variational',
+                   lambda_drop_loss=1e-8, variational_sigma=-3.2,
+                   weight_dkl_multiplier=5e-5)
+    info = training(cfg, verbose=False, volume_np=vol, write_vols=False)
+    assert np.isfinite(info['psnr'])
+    assert info['psnr'] > 10.0
+
+
+def test_checkpoint_warmstart(tmp_path):
+    vol = synthetic_volume()
+    cfg = base_cfg(tmp_path, expname='e2e_warm')
+    info = training(cfg, verbose=False, volume_np=vol, write_vols=False)
+
+    # reload via checkpoint and evaluate without training
+    spec = make_spec(d_in=cfg.d_in, hidden=cfg.n_hidden_size, d_out=cfg.d_out,
+                     num_layers=cfg.n_layers, n_freqs=cfg.n_embedding_freq,
+                     grid_features=cfg.grid_features, grid_size=cfg.grid_size,
+                     wavelet=cfg.wavelet_filter, drop_type='')
+    params, _ = init_model(jax.random.key(9), spec)
+    params, _ = load_checkpoint(cfg.checkpoint_path, params)
+    meta = VolumeMeta(vol.shape)
+    psnr, _, _, _ = tiled_net_out(spec, params, meta, gt_vol=vol,
+                                  evaluate=True, write_vols=False)
+    assert psnr == pytest.approx(info['psnr'], abs=1e-3)
+
+
+def test_neurcomp_lr_decay_applied(tmp_path):
+    """pass_decay triggers lr*=lr_decay at pass boundaries (phase 1)."""
+    from latent_feature_grid_compression_tpu.train.trainer import (
+        make_phase_spec, init_train_state, make_chunk_runner)
+    from latent_feature_grid_compression_tpu.data.volume import VolumeMeta
+
+    vol = synthetic_volume(16)
+    cfg = base_cfg(tmp_path, batch_size=64, sample_size=8, max_pass=30,
+                   pass_decay=3, lr_decay=0.5)
+    meta = VolumeMeta(vol.shape)
+    spec = make_spec(grid_size=8, grid_features=4, hidden=16, num_layers=2)
+    ph = make_phase_spec(cfg, spec, meta, phase=1)
+    params, aux = init_model(jax.random.key(0), spec)
+    state = init_train_state(params, None, aux, cfg.lr, cfg.lr, jax.random.key(1), 0.0)
+    steps_per_pass = meta.n_voxels / ph.batch_n
+    n_steps = int(steps_per_pass * 7) + 2  # cross passes 0..6
+    run = make_chunk_runner(ph, None, n_steps)
+    state, metrics = run(state, jnp.asarray(vol))
+    # boundary rule: decay when entering pass k with (k+1) % 3 == 0 -> k=2, 5
+    assert float(state.lr) == pytest.approx(cfg.lr * 0.5 ** 2, rel=1e-5)
