@@ -1,0 +1,2 @@
+from .mesh import (make_mesh, shard_volume, replicate, make_shard_ctx,
+                   make_sharded_chunk_runner, solve_phase_sharded)

@@ -1,0 +1,116 @@
+"""Multi-chip training: mesh construction + shard_map'd train step.
+
+Green-field parallelism design (the reference is strictly single-device,
+training/training.py:15; see SURVEY.md §2.3):
+
+* Mesh axes ('data', 'space'):
+    - 'data'  : pure data parallelism over sampled positions.
+    - 'space' : the GT volume is sharded into x-slabs; each device samples
+      positions inside its slab (stratified — identical marginal statistics
+      to global IID sampling when slabs are equal).  This is the
+      sequence-parallel analogue for this point-sampled workload and keeps
+      per-device volume memory at X/space * Y * Z.
+* Model/optimizer state is replicated; gradients are pmean'd over both axes
+  inside the step (XLA lowers this to ICI all-reduce overlapped with the
+  backward), after which every device applies the identical Adam update.
+* Multi-host: build the mesh over jax.devices() after jax.distributed
+  initialization; the per-device PRNG fold_in is by linear mesh index, so
+  sampling statistics are invariant to host count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.trainer import (PhaseSpec, TrainState, ShardCtx, make_train_step)
+
+
+def make_mesh(data: int = 0, space: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'space') mesh; data=0 -> use all remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == 0:
+        assert n % space == 0, (n, space)
+        data = n // space
+    assert data * space <= n, f"need {data * space} devices, have {n}"
+    arr = np.asarray(devices[: data * space]).reshape(data, space)
+    return Mesh(arr, ('data', 'space'))
+
+
+def shard_volume(mesh: Mesh, volume: jax.Array, use_space: bool = True):
+    """Place the GT volume: x-slabs over 'space', replicated over 'data'."""
+    pspec = P('space') if use_space and mesh.shape['space'] > 1 else P()
+    return jax.device_put(volume, NamedSharding(mesh, pspec))
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def make_shard_ctx(mesh: Mesh, use_space: bool = True) -> ShardCtx:
+    space = mesh.shape['space']
+    return ShardCtx(
+        axis_names=('data', 'space'),
+        space_axis='space' if (use_space and space > 1) else None,
+        n_devices=mesh.shape['data'] * space,
+        space_size=space if use_space else 1,
+    )
+
+
+def make_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
+                              steps_per_chunk: int, use_space: bool = True):
+    """jit(shard_map(scan(step))) over the mesh.
+
+    Returns run(state, volume) -> (state, metrics); state must be replicated
+    (see :func:`replicate`) and volume placed via :func:`shard_volume`.
+    """
+    sc = make_shard_ctx(mesh, use_space)
+    step = make_train_step(ph, masks, shard_ctx=sc)
+
+    vol_spec = P('space') if sc.space_axis else P()
+
+    def chunk_body(state: TrainState, volume: jax.Array):
+        return jax.lax.scan(lambda s, _: step(s, volume), state,
+                            None, length=steps_per_chunk)
+
+    sharded = jax.shard_map(
+        chunk_body, mesh=mesh,
+        in_specs=(P(), vol_spec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def solve_phase_sharded(mesh: Mesh, ph: PhaseSpec, state: TrainState,
+                        volume: jax.Array, steps_per_chunk: int, masks=None,
+                        use_space: bool = True, writer=None, verbose=True):
+    """Sharded analogue of trainer.solve_phase."""
+    import math as _math
+    from ..train.trainer import _emit_metrics
+
+    run = make_sharded_chunk_runner(mesh, ph, masks, steps_per_chunk, use_space)
+    state = replicate(mesh, state)
+    volume = shard_volume(mesh, volume, use_space)
+    N, V = ph.batch_n, ph.n_voxels
+    t_max = _math.ceil((_math.floor(ph.max_pass) + 1) * V / N) + 1
+    variational = ph.variational and bool(ph.drop_type)
+    while True:
+        start_step = int(state.step)
+        if start_step >= t_max:
+            break
+        state, metrics = run(state, volume)
+        metrics = jax.device_get(metrics)
+        stopped = bool(jax.device_get(state.stop))
+        if writer is not None or verbose:
+            _emit_metrics(metrics, start_step, variational, writer, None,
+                          verbose, ph)
+        if stopped:
+            break
+    return state

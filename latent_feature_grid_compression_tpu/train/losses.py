@@ -52,13 +52,20 @@ def log_likelihood_variance(predicted: jax.Array, ground_truth: jax.Array,
 def variational_loss(params: ModelParams, predicted: jax.Array,
                      ground_truth: jax.Array, log_sigma: jax.Array,
                      weight_dkl: jax.Array, weight_weights: float,
-                     batch_scale: float):
+                     batch_scale: float, data_scale: Optional[float] = None):
     """VariationalDropoutLoss.forward body (ramp handled by the caller).
 
+    ``batch_scale`` = n_voxels / global_batch scales the KL/weight penalties;
+    ``data_scale`` scales the per-sample LL sum (defaults to batch_scale; under
+    data-parallel shard_map it is n_voxels / local_batch so that pmean over
+    devices reproduces the global loss and gradients exactly).
+
     Returns (loss, LL, mse, dkl_term, weight_term)."""
+    if data_scale is None:
+        data_scale = batch_scale
     ll, sq = log_likelihood_variance(predicted, ground_truth, log_sigma)
     mse = jnp.sum(sq) / predicted.shape[0]
-    ll_sum = jnp.sum(ll) * batch_scale
+    ll_sum = jnp.sum(ll) * data_scale
     dkl = weight_dkl * G.variational_dkl(params.gates) * batch_scale
     wsum = weight_weights * grid_l2(params) * batch_scale
     loss = -(ll_sum - dkl - wsum)

@@ -116,24 +116,72 @@ def _adam_update(params, grads, m, v, t, lr,
 # One training step
 # ---------------------------------------------------------------------------
 
-def make_train_step(ph: PhaseSpec, masks):
+@dataclasses.dataclass(frozen=True)
+class ShardCtx:
+    """Multi-chip sharding context for the train step (used under shard_map).
+
+    axis_names: mesh axes the batch is split over (e.g. ('data', 'space')).
+    space_axis: the mesh axis the GT volume's leading spatial dim is sharded
+      over, or None if the volume is replicated.  With a space axis, each
+      device samples positions only inside its x-slab (stratified sampling —
+      same marginal distribution as global IID when slabs are equal).
+    n_devices: total devices across axis_names.
+    space_size: size of the space axis (1 if None).
+    """
+    axis_names: Tuple[str, ...] = ()
+    space_axis: Optional[str] = None
+    n_devices: int = 1
+    space_size: int = 1
+
+
+def make_train_step(ph: PhaseSpec, masks, shard_ctx: Optional[ShardCtx] = None):
     """Build the per-step function for lax.scan.  ``masks`` (tuple of arrays
-    or None) is closed over; they are constants during a phase."""
+    or None) is closed over; they are constants during a phase.
+
+    With ``shard_ctx`` the function must run inside shard_map: positions are
+    sampled per-device (key folded with the device's linear mesh index),
+    gradients and metrics are psum-averaged over the mesh axes, and the
+    parameter update is computed identically on every device."""
     spec = ph.spec
     res = np.asarray(ph.resolution, dtype=np.int32)
     max_idx = (res - 1).astype(np.float32)
     scales = max_idx / max_idx.max()
-    N = ph.batch_n
+    sc = shard_ctx
+    N = ph.batch_n if sc is None else ph.batch_n // sc.n_devices
     inv_voxels = 1.0 / float(ph.n_voxels)
-    batch_scale = float(ph.n_voxels) / float(N)
+    batch_scale = float(ph.n_voxels) / float(ph.batch_n)
     train_gates = bool(ph.drop_type)
+    if sc is not None:
+        assert ph.batch_n % sc.n_devices == 0, \
+            "batch_size*sample_size must divide the device count"
+        assert ph.resolution[0] % sc.space_size == 0, \
+            "volume X must divide the space axis"
+    local_x = ph.resolution[0] // (sc.space_size if sc else 1)
+
+    def _device_index():
+        idx = 0
+        for ax in sc.axis_names:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        return idx
+
+    def _pmean(x):
+        return jax.lax.pmean(x, sc.axis_names) if sc else x
 
     def step_fn(state: TrainState, volume: jax.Array):
         key, k_pos, k_gate = jax.random.split(state.key, 3)
 
         # --- on-device IID voxel sampling (IndexDataset.__getitem__) -------
-        pos = jax.random.randint(k_pos, (N, 3), 0, res[None, :])   # int32
-        norm = (pos.astype(jnp.float32) / max_idx[None]) * 2.0 - 1.0
+        if sc is not None:
+            k_pos = jax.random.fold_in(k_pos, _device_index())
+            local_res = jnp.asarray([local_x, res[1], res[2]], jnp.int32)
+            pos = jax.random.randint(k_pos, (N, 3), 0, local_res[None, :])
+            x_off = (jax.lax.axis_index(sc.space_axis) * local_x
+                     if sc.space_axis else 0)
+            gpos = pos.at[:, 0].add(x_off) if sc.space_axis else pos
+        else:
+            pos = jax.random.randint(k_pos, (N, 3), 0, res[None, :])   # int32
+            gpos = pos
+        norm = (gpos.astype(jnp.float32) / max_idx[None]) * 2.0 - 1.0
         norm = norm * scales[None]
 
         gt = volume[pos[:, 0], pos[:, 1], pos[:, 2]]               # exact fetch
@@ -157,7 +205,8 @@ def make_train_step(ph: PhaseSpec, masks):
                     log_sigma = jnp.full_like(pred, ph.variational_sigma)
                 loss, ll, mse, dkl, wsum = L.variational_loss(
                     params, pred, gt, log_sigma, weight_dkl,
-                    ph.lambda_weight_loss, batch_scale)
+                    ph.lambda_weight_loss, batch_scale,
+                    data_scale=float(ph.n_voxels) / float(N))
                 aux = {'loss': loss, 'volume_loss': mse, 'Log_Likelyhood_loss': ll,
                        'DKL_loss': dkl, 'Weight_loss': wsum, 'drop_loss': dkl}
             else:
@@ -177,6 +226,12 @@ def make_train_step(ph: PhaseSpec, masks):
 
         trainables = (state.params, state.var_params)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainables)
+        if sc is not None:
+            # average over the mesh: every device then applies the identical
+            # global update (replicated params stay bitwise in sync)
+            grads = _pmean(grads)
+            loss = _pmean(loss)
+            aux = _pmean(aux)
 
         t = state.step + 1
         new_tr, m, v = _adam_update(trainables, grads, state.m, state.v,
@@ -190,8 +245,12 @@ def make_train_step(ph: PhaseSpec, masks):
                 gate_aux, state.params.gates, spec.drop_momentum)
 
         # --- volume-pass accounting + lr strategy --------------------------
-        prior_passes = jnp.floor(state.step.astype(jnp.float32) * N * inv_voxels)
-        vp = t.astype(jnp.float32) * N * inv_voxels
+        # NOTE: uses the *global* batch (ph.batch_n): under shard_map each
+        # device processes N=batch_n/n_devices samples, but collectively one
+        # step still covers batch_n voxels.
+        prior_passes = jnp.floor(state.step.astype(jnp.float32)
+                                 * ph.batch_n * inv_voxels)
+        vp = t.astype(jnp.float32) * ph.batch_n * inv_voxels
         cur_int = jnp.floor(vp)
         boundary = prior_passes != cur_int
 

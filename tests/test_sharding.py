@@ -1,0 +1,107 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates: mesh construction, replicated-state consistency, and — the key
+property — that the data-parallel/space-sharded step optimizes the same
+objective as the single-device step (losses decrease, updates stay in sync).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from latent_feature_grid_compression_tpu.config import TrainConfig
+from latent_feature_grid_compression_tpu.data.volume import VolumeMeta
+from latent_feature_grid_compression_tpu.models import make_spec, init_model
+from latent_feature_grid_compression_tpu.train.trainer import (
+    make_phase_spec, init_train_state)
+from latent_feature_grid_compression_tpu.parallel import (
+    make_mesh, solve_phase_sharded, make_sharded_chunk_runner, replicate,
+    shard_volume)
+
+
+def synthetic_volume(n=16):
+    x, y, z = np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing='ij')
+    return (np.sin(3 * x) * np.cos(2 * y) * np.sin(2 * z)).astype(np.float32)
+
+
+def setup(n=16, drop_type='', **cfg_kw):
+    vol = synthetic_volume(n)
+    meta = VolumeMeta(vol.shape)
+    cfg = TrainConfig(drop_type=drop_type, max_pass=4, batch_size=64,
+                      sample_size=8, grid_size=8, grid_features=4,
+                      n_hidden_size=16, n_layers=2, lr=0.01, **cfg_kw)
+    spec = make_spec(grid_size=cfg.grid_size, grid_features=cfg.grid_features,
+                     hidden=cfg.n_hidden_size, num_layers=cfg.n_layers,
+                     drop_type=drop_type)
+    ph = make_phase_spec(cfg, spec, meta, phase=1)
+    params, aux = init_model(jax.random.key(0), spec)
+    state = init_train_state(params, None, aux, cfg.lr, cfg.lr,
+                             jax.random.key(1), cfg.lambda_drop_loss)
+    return vol, ph, state
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, space=2)
+    assert mesh.shape == {'data': 4, 'space': 2}
+    mesh2 = make_mesh(space=2)  # data inferred: 8 devices / 2
+    assert mesh2.shape == {'data': 4, 'space': 2}
+
+
+@pytest.mark.parametrize('data,space', [(8, 1), (4, 2), (2, 4)])
+def test_sharded_training_decreases_loss(data, space):
+    vol, ph, state = setup()
+    mesh = make_mesh(data=data, space=space)
+    run = make_sharded_chunk_runner(mesh, ph, None, 60)
+    state = replicate(mesh, state)
+    v = shard_volume(mesh, jnp.asarray(vol))
+    state, metrics = run(state, v)
+    losses = np.asarray(metrics['loss'])
+    assert losses[-1] < losses[0] * 0.7, losses[[0, -1]]
+    assert np.isfinite(losses).all()
+
+
+def test_sharded_step_matches_single_device_objective():
+    """Same key, same init: the DP step (space=1) computes the global batch in
+    shards; gradients are pmean'd, so parameters after K steps track the
+    single-device run closely (not bitwise: different position draws)."""
+    vol, ph, state = setup()
+    mesh = make_mesh(data=8, space=1)
+    run = make_sharded_chunk_runner(mesh, ph, None, 40, use_space=False)
+    s_sharded, m_sharded = run(replicate(mesh, state),
+                               shard_volume(mesh, jnp.asarray(vol), False))
+
+    from latent_feature_grid_compression_tpu.train.trainer import make_chunk_runner
+    _, _, state2 = setup()   # fresh state (same seeds); the first was donated
+    run1 = make_chunk_runner(ph, None, 40)
+    s_single, m_single = run1(state2, jnp.asarray(vol))
+
+    # both converge to comparable losses on the same objective
+    l_sh = float(np.mean(np.asarray(m_sharded['loss'])[-5:]))
+    l_si = float(np.mean(np.asarray(m_single['loss'])[-5:]))
+    assert abs(l_sh - l_si) / max(l_si, 1e-9) < 0.5, (l_sh, l_si)
+
+
+def test_sharded_smallify_gate_state_in_sync():
+    vol, ph, state = setup(drop_type='smallify', lambda_drop_loss=1e-6)
+    mesh = make_mesh(data=4, space=2)
+    run = make_sharded_chunk_runner(mesh, ph, None, 30)
+    state, _ = run(replicate(mesh, state), shard_volume(mesh, jnp.asarray(vol)))
+    # replicated aux state must be identical on every device
+    ema0 = state.gate_aux.ema_var[0]
+    shards = [np.asarray(s.data) for s in ema0.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    assert float(jnp.max(ema0)) > 0.0  # tracker actually moved
+
+
+def test_variational_sharded_runs():
+    vol, ph, state = setup(drop_type='static_variational',
+                           variational_sigma=-3.2)
+    mesh = make_mesh(data=2, space=4)
+    run = make_sharded_chunk_runner(mesh, ph, None, 20)
+    state, metrics = run(replicate(mesh, state),
+                         shard_volume(mesh, jnp.asarray(vol)))
+    assert np.isfinite(np.asarray(metrics['loss'])).all()
+    assert float(state.weight_dkl) > 0.0
