@@ -33,14 +33,30 @@ import jax
 def kmeans_quantization(values: np.ndarray, n_clusters: int, seed=None):
     """1-D k-means -> (labels, centers) (model_utils.py:73-76).
 
+    Uses the native C++ k-means (k-means++ + Lloyd on sorted data) when built
+    — faster than sklearn at equal quantization MSE; set LFGC_KMEANS=sklearn
+    to force the sklearn path (n_init=4, the reference's call).
+
     Degenerate guard (absent in the reference, which crashes): when there are
     fewer samples than clusters, fit with n_samples clusters and zero-pad the
     centers so the byte layout stays fixed.
     """
-    from sklearn.cluster import KMeans
-    x = np.asarray(values, dtype=np.float32).reshape(-1, 1)
+    import os
+    x = np.asarray(values, dtype=np.float32).reshape(-1)
     k = min(n_clusters, len(np.unique(x)))
-    km = KMeans(n_clusters=k, n_init=4, random_state=seed).fit(x)
+    if os.environ.get('LFGC_KMEANS') != 'sklearn':
+        try:
+            from ..native import lib as native_lib
+            if native_lib.available():
+                labels, centers = native_lib.kmeans_1d(
+                    x, k, seed=0 if seed is None else seed)
+                if k < n_clusters:
+                    centers = np.pad(centers, (0, n_clusters - k))
+                return labels, centers.astype(np.float32)
+        except Exception:
+            pass
+    from sklearn.cluster import KMeans
+    km = KMeans(n_clusters=k, n_init=4, random_state=seed).fit(x.reshape(-1, 1))
     labels = km.labels_.astype(np.int64)
     centers = km.cluster_centers_.reshape(-1).astype(np.float32)
     if k < n_clusters:
@@ -49,10 +65,23 @@ def kmeans_quantization(values: np.ndarray, n_clusters: int, seed=None):
 
 
 def ints_to_bits_to_bytes(all_ints, n_bits: int) -> Tuple[bytearray, bool]:
-    """Big-endian fixed-width bit packing (model_utils.py:79-90 semantics)."""
+    """Big-endian fixed-width bit packing (model_utils.py:79-90 semantics).
+
+    Fast paths: raw bytes for n_bits=8, the native C++ packer otherwise;
+    string-based fallback preserves exact reference behavior (including the
+    right-aligned trailing partial byte)."""
+    leftover = (len(all_ints) * n_bits) % 8 > 0
+    if n_bits == 8:
+        return bytearray(int(v) for v in all_ints), False
+    try:
+        from ..native import lib as native_lib
+        if native_lib.available():
+            packed = native_lib.pack_bits(np.asarray(all_ints, np.int64), n_bits)
+            return bytearray(packed), leftover
+    except Exception:
+        pass
     bit_string = ''.join(format(int(v), f'0{n_bits}b') for v in all_ints)
     n_bytes = len(bit_string) // 8
-    leftover = len(bit_string) % 8 > 0
     out = bytearray()
     for b in range(n_bytes):
         out.append(int(bit_string[8 * b: 8 * b + 8], 2))
@@ -169,10 +198,20 @@ def restore_model(filename: str):
             if (n_weights * bit_precision) % 8 != 0:
                 weight_size += 1
             raw = f.read(weight_size)
-            bits = ''.join(format(byte, '08b') for byte in raw)
-            idx = np.array([int(bits[bit_precision * i: bit_precision * (i + 1)], 2)
-                            for i in range(n_weights)], dtype=np.int64)
+            if bit_precision == 8:
+                idx = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            else:
+                try:
+                    from ..native import lib as native_lib
+                    assert native_lib.available()
+                    idx = native_lib.unpack_bits(raw, n_weights, bit_precision)
+                except Exception:
+                    bits = ''.join(format(byte, '08b') for byte in raw)
+                    idx = np.array(
+                        [int(bits[bit_precision * i: bit_precision * (i + 1)], 2)
+                         for i in range(n_weights)], dtype=np.int64)
             if bit_precision % 8 != 0:
+                idx = idx.copy()
                 idx[-1] = struct.unpack('I', f.read(4))[0]
             return centers[idx]
 
