@@ -1,0 +1,97 @@
+"""Figure generation for experiment analysis.
+
+Re-implements the reference's plotting layer (visualization/generate_plot.py)
+on matplotlib: Pareto-comparison curves (PSNR vs compression ratio per
+method), hyperparameter-vs-objective scatter, and weight histograms.
+tikzplotlib/mlflow side-channels of the reference are dropped; figures are
+written as png.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .analysis import collect_experiments, pareto_frontier
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_pareto_comparison(method_dirs: Dict[str, str], out_path: str,
+                           x_key: str = 'compression_ratio',
+                           y_key: str = 'psnr') -> str:
+    """One PSNR-vs-ratio frontier curve per method directory
+    (generate_plot.py's baseline-comparison figures)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for label, base in method_dirs.items():
+        runs = collect_experiments(base)
+        xs = [float(r['info'][x_key]) for r in runs if x_key in r['info']]
+        ys = [float(r['info'][y_key]) for r in runs if y_key in r['info']]
+        if not xs:
+            continue
+        ax.scatter(xs, ys, s=12, alpha=0.4)
+        if len(xs) >= 2:
+            fx, fy = pareto_frontier(xs, ys)
+            order = np.argsort(fx)
+            ax.plot(np.asarray(fx)[order], np.asarray(fy)[order],
+                    marker='o', label=label)
+        else:
+            ax.plot(xs, ys, marker='o', label=label)
+    ax.set_xlabel('compression ratio')
+    ax.set_ylabel('PSNR [dB]')
+    ax.set_xscale('log')
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_hyperparam_analysis(base_dir: str, param_key: str, out_path: str,
+                             y_key: str = 'compression_ratio') -> str:
+    """Scatter of one hyperparameter vs an objective over all runs."""
+    plt = _plt()
+    runs = collect_experiments(base_dir)
+    xs = [float(r['config'][param_key]) for r in runs
+          if param_key in r['config'] and y_key in r['info']]
+    ys = [float(r['info'][y_key]) for r in runs
+          if param_key in r['config'] and y_key in r['info']]
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.scatter(xs, ys)
+    ax.set_xlabel(param_key)
+    ax.set_ylabel(y_key)
+    if xs and min(xs) > 0 and max(xs) / max(min(xs), 1e-30) > 100:
+        ax.set_xscale('log')
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_weight_histograms(params, out_path: str) -> str:
+    """Histograms of wavelet-coefficient magnitudes per pyramid level
+    (generate_plot.py's weight-histogram figures)."""
+    plt = _plt()
+    n = len(params.coeffs)
+    fig, axes = plt.subplots(1, n, figsize=(3 * n, 3))
+    if n == 1:
+        axes = [axes]
+    for i, (ax, c) in enumerate(zip(axes, params.coeffs)):
+        vals = np.asarray(c).ravel()
+        ax.hist(vals, bins=80)
+        ax.set_title(f'level {i} ({vals.size} coeffs)')
+        ax.set_yscale('log')
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path

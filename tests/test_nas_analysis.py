@@ -1,0 +1,133 @@
+"""NAS search loop, Pareto tooling, curve fitting, quantization study, plots."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from latent_feature_grid_compression_tpu.nas import (
+    run_search, pareto_front, hypervolume_2d, MultiObjectiveSearch,
+    SMALLIFY_SPACE)
+from latent_feature_grid_compression_tpu.config import write_dict
+from latent_feature_grid_compression_tpu.utils.analysis import (
+    pareto_frontier, fit_log_linear, param_for_target_ratio,
+    targets_from_frontier, collect_experiments)
+
+
+def test_pareto_front_maximization():
+    pts = [(1, 5), (2, 4), (3, 3), (2.5, 4.5), (0.5, 6)]
+    front = pareto_front(pts)
+    sel = sorted(pts[i] for i in front)
+    assert sel == [(0.5, 6), (1, 5), (2.5, 4.5), (3, 3)]  # (2,4) dominated
+
+
+def test_hypervolume():
+    assert hypervolume_2d([(2, 3)]) == pytest.approx(6.0)
+    assert hypervolume_2d([(2, 3), (3, 1)]) == pytest.approx(6.0 + 1.0)
+    assert hypervolume_2d([(2, 3), (1, 1)]) == pytest.approx(6.0)
+
+
+def test_search_suggest_respects_bounds():
+    s = MultiObjectiveSearch(SMALLIFY_SPACE, total_trials=10, seed=1)
+    for i in range(10):
+        p = s.suggest(i)
+        for spec in SMALLIFY_SPACE:
+            assert spec.low <= p[spec.name] <= spec.high
+            if spec.integer:
+                assert p[spec.name] == int(p[spec.name])
+
+
+def test_run_search_dry(tmp_path, monkeypatch):
+    """Full NAS loop with a fake trainer writing plausible info.txt files."""
+    monkeypatch.chdir(tmp_path)
+    cfg_file = tmp_path / 'base.txt'
+    write_dict({'data': 'x.npy', 'max_pass': 5}, 'base.txt', str(tmp_path))
+
+    rng = np.random.default_rng(0)
+
+    def fake_trainer(cmd, expdir):
+        os.makedirs(expdir, exist_ok=True)
+        # compression driven by lambda_drop_loss (plausible monotone response)
+        lam = float(cmd[cmd.index('--lambda_drop_loss') + 1])
+        ratio = 10.0 * (lam / 1e-8) ** 0.25 * rng.uniform(0.8, 1.2)
+        psnr = 45.0 - 3.0 * np.log10(max(ratio, 1.0)) + rng.uniform(-1, 1)
+        write_dict({'compression_ratio': ratio, 'psnr': psnr,
+                    'rmse': 10 ** (-psnr / 20)}, 'info.txt', expdir)
+
+    trials = run_search(str(cfg_file), drop_type='smallify', total_trials=8,
+                        parallelism=3, basedir='/nas_out/', seed=0,
+                        dry_run_cmd=fake_trainer)
+    done = [t for t in trials if t.metrics]
+    assert len(done) == 8
+    assert all('compression_ratio' in t.metrics for t in done)
+
+
+def test_curve_fitting_and_targets(tmp_path):
+    # synthesize runs obeying ratio = exp(0.5*log(lam) + 12)
+    for i, lam in enumerate([1e-8, 1e-7, 1e-6, 1e-5]):
+        d = tmp_path / f'run_{i}'
+        d.mkdir()
+        ratio = np.exp(0.5 * np.log(lam) + 12)
+        write_dict({'lambda_drop_loss': lam}, 'config.txt', str(d))
+        write_dict({'compression_ratio': float(ratio), 'psnr': 40.0},
+                   'info.txt', str(d))
+    runs = collect_experiments(str(tmp_path))
+    assert len(runs) == 4
+    a, b = fit_log_linear([float(r['config']['lambda_drop_loss']) for r in runs],
+                          [float(r['info']['compression_ratio']) for r in runs])
+    assert a == pytest.approx(0.5, abs=1e-6)
+    targets = targets_from_frontier(runs, target_ratios=(100.0,))
+    lam100 = targets[100.0]
+    assert np.exp(0.5 * np.log(lam100) + 12) == pytest.approx(100.0, rel=1e-6)
+
+
+def test_pareto_frontier_util():
+    xs = [1, 2, 3, 4]
+    ys = [10, 8, 9, 2]
+    fx, fy = pareto_frontier(xs, ys)
+    assert set(zip(fx, fy)) == {(4, 2), (3, 9), (1, 10)}
+
+
+def test_mock_quantization_study():
+    from latent_feature_grid_compression_tpu.models import make_spec, init_model
+    from latent_feature_grid_compression_tpu.ops.quantization import (
+        mock_quantization_study, quantize_affine, dequantize_affine)
+    import jax.numpy as jnp
+
+    # affine quantize semantics
+    x = jnp.asarray([0.0, 0.02, -0.02, 0.011, 10.0])
+    q = quantize_affine(x, 0.02)
+    np.testing.assert_array_equal(np.asarray(q), [0, 1, -1, 1, 127])
+    back = dequantize_affine(q, 0.02)
+    np.testing.assert_allclose(np.asarray(back)[:4], [0, .02, -.02, .02],
+                               atol=1e-7)
+
+    n = 16
+    xg, yg, zg = np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing='ij')
+    vol = (np.sin(3 * xg) * np.cos(2 * yg)).astype(np.float32)
+    spec = make_spec(grid_size=8, grid_features=4, hidden=16, num_layers=2)
+    params, _ = init_model(jax.random.key(0), spec)
+    out = mock_quantization_study(spec, params, vol)
+    assert out['compression_ratio_quant'] > out['compression_ratio']
+    assert np.isfinite(out['psnr_quant'])
+
+
+def test_plots(tmp_path):
+    from latent_feature_grid_compression_tpu.utils.plots import (
+        plot_pareto_comparison, plot_weight_histograms)
+    from latent_feature_grid_compression_tpu.models import make_spec, init_model
+
+    for i, (ratio, psnr) in enumerate([(50, 45), (100, 40), (200, 38)]):
+        d = tmp_path / 'm1' / f'r{i}'
+        d.mkdir(parents=True)
+        write_dict({'compression_ratio': ratio, 'psnr': psnr}, 'info.txt', str(d))
+        write_dict({'lr': 0.008}, 'config.txt', str(d))
+    p = plot_pareto_comparison({'m1': str(tmp_path / 'm1')},
+                               str(tmp_path / 'cmp.png'))
+    assert os.path.exists(p)
+
+    spec = make_spec(grid_size=8, grid_features=4, hidden=16, num_layers=2)
+    params, _ = init_model(jax.random.key(0), spec)
+    p2 = plot_weight_histograms(params, str(tmp_path / 'hist.png'))
+    assert os.path.exists(p2)
