@@ -77,8 +77,10 @@ def tiled_net_out(spec: ModelSpec, params: ModelParams, meta: VolumeMeta,
     if evaluate and gt_vol is not None:
         psnr, l1, mse, rmse = deviation_statistics(full_vol, gt_vol)
     if write_vols:
+        import os
         from .vtk import write_vti
         write_vti(filename, full_vol, name='sf')
         if gt_vol is not None:
-            write_vti('gt', np.asarray(gt_vol), name='sf')
+            gt_path = os.path.join(os.path.dirname(filename) or '.', 'gt')
+            write_vti(gt_path, np.asarray(gt_vol), name='sf')
     return psnr, l1, mse, rmse

@@ -383,9 +383,24 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
         if writer is not None or metric_cb is not None or verbose:
             _emit_metrics(metrics, start_step, variational, writer, metric_cb,
                           verbose, ph)
+        if variational and writer is not None:
+            _emit_droprate_histograms(writer, ph, state, int(state.step))
         if stopped:
             break
     return state
+
+
+def _emit_droprate_histograms(writer, ph, state, step):
+    """Per-level variational droprate histograms (training/training.py:163-172)."""
+    from ..models import gates as G
+    try:
+        import numpy as _np
+        for lvl in range(len(state.params.coeffs)):
+            rates = _np.asarray(G.variational_dropout_rates(state.params.gates,
+                                                            lvl))
+            writer.add_histogram(f'droprates_layer_{lvl}', rates.ravel(), step)
+    except Exception:
+        pass
 
 
 def _emit_metrics(metrics, start_step, variational, writer, metric_cb,
