@@ -39,38 +39,37 @@ def grid_sample_3d(features: jax.Array, coords: jax.Array) -> jax.Array:
     C, D, H, W = features.shape
     sizes = jnp.asarray([W, H, D], dtype=coords.dtype)
 
+    # Channel-minor flat layout: each corner fetch is one contiguous C-float
+    # row — far better TPU gather locality than C-major strided access, and
+    # the backward pass becomes a row-wise scatter-add.
+    flat = jnp.transpose(features, (1, 2, 3, 0)).reshape(D * H * W, C)
+
     # align_corners=False: x_pix = ((x + 1) * size - 1) / 2
     pix = ((coords + 1.0) * sizes - 1.0) * 0.5          # (N, 3) in pixel space
     lo = jnp.floor(pix)
     frac = pix - lo                                      # in [0, 1)
     lo = lo.astype(jnp.int32)
-    hi = lo + 1
-
-    def corner(ix, iy, iz):
-        """Gather features at integer corner (ix->W, iy->H, iz->D), zero OOB."""
-        valid = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-                 & (iz >= 0) & (iz < D))
-        ixc = jnp.clip(ix, 0, W - 1)
-        iyc = jnp.clip(iy, 0, H - 1)
-        izc = jnp.clip(iz, 0, D - 1)
-        vals = features[:, izc, iyc, ixc]                # (C, N)
-        return jnp.where(valid[None, :], vals, 0.0)
 
     fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
-    wx = (1.0 - fx, fx)
-    wy = (1.0 - fy, fy)
-    wz = (1.0 - fz, fz)
-    xs = (lo[:, 0], hi[:, 0])
-    ys = (lo[:, 1], hi[:, 1])
-    zs = (lo[:, 2], hi[:, 2])
 
     out = 0.0
     for dz in (0, 1):
         for dy in (0, 1):
             for dx in (0, 1):
-                w = wz[dz] * wy[dy] * wx[dx]
-                out = out + w[None, :] * corner(xs[dx], ys[dy], zs[dz])
-    return out.T                                         # (N, C)
+                ix = lo[:, 0] + dx
+                iy = lo[:, 1] + dy
+                iz = lo[:, 2] + dz
+                valid = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+                         & (iz >= 0) & (iz < D))
+                ixc = jnp.clip(ix, 0, W - 1)
+                iyc = jnp.clip(iy, 0, H - 1)
+                izc = jnp.clip(iz, 0, D - 1)
+                rows = flat[(izc * H + iyc) * W + ixc]   # (N, C) row gather
+                w = ((fx if dx else 1.0 - fx)
+                     * (fy if dy else 1.0 - fy)
+                     * (fz if dz else 1.0 - fz))
+                out = out + rows * (w * valid)[:, None]
+    return out                                           # (N, C)
 
 
 def trilinear_interpolate(volume: jax.Array, points: jax.Array,
