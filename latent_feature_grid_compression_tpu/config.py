@@ -60,7 +60,10 @@ class TrainConfig:
     seed: int = 0
     steps_per_chunk: int = 200      # scanned steps per device dispatch
     mesh_data: int = 1              # data-parallel mesh axis size
+    mesh_space: int = 1             # volume-sharding mesh axis size
     compute_dtype: str = 'float32'
+    interp_backend: str = 'xla'     # 'xla' | 'pallas'
+    profile_dir: str = ''           # jax.profiler trace output dir
 
     def to_dict(self):
         d = dataclasses.asdict(self)

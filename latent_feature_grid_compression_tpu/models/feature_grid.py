@@ -48,6 +48,9 @@ class ModelSpec:
     thresholds: Tuple[float, ...] = ()
     # spatial shapes to restore per decode level, coarsest first
     level_shapes: Tuple[Tuple[int, int, int], ...] = ()
+    # feature-fetch backend: 'xla' (gather path) or 'pallas' (fused MXU
+    # one-hot matmul kernel, ops/pallas_kernels.py)
+    interp_backend: str = 'xla'
 
     @property
     def num_levels(self) -> int:
@@ -74,7 +77,7 @@ class ModelParams:
 def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
               grid_features=16, grid_size=32, wavelet='db2', drop_type='',
               drop_momentum=0.025, drop_threshold=0.75,
-              pruning_threshold_list=None) -> ModelSpec:
+              pruning_threshold_list=None, interp_backend='xla') -> ModelSpec:
     """Build a ModelSpec, precomputing the wavelet pyramid level shapes."""
     filt = WaveletFilter3d(wavelet)
     num_levels = dwt_max_level(grid_size, filt.filter_length)
@@ -100,7 +103,7 @@ def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
                      grid_features=grid_features, grid_size=grid_size,
                      wavelet=wavelet, drop_type=drop_type,
                      drop_momentum=drop_momentum, thresholds=thresholds,
-                     level_shapes=level_shapes)
+                     level_shapes=level_shapes, interp_backend=interp_backend)
 
 
 def init_model(key: jax.Array, spec: ModelSpec):
@@ -164,7 +167,11 @@ def apply_model(spec: ModelSpec, params: ModelParams, coords: jax.Array, *,
     """
     grid = decode_volume(spec, params, train_gates=train_gates, rng=rng,
                          masks=masks)
-    feats = grid_sample_3d(grid, coords)                       # (N, F)
+    if spec.interp_backend == 'pallas':
+        from ..ops.pallas_kernels import pallas_grid_sample_3d
+        feats = pallas_grid_sample_3d(grid, coords)            # (N, F)
+    else:
+        feats = grid_sample_3d(grid, coords)                   # (N, F)
     emb = fourier_embed(coords, spec.n_freqs)
     x = jnp.concatenate([coords, emb, feats], axis=-1)
     out = mlp_apply(list(params.mlp_w), list(params.mlp_b), x, snake_alt)

@@ -110,7 +110,8 @@ def training(cfg: TrainConfig, verbose: bool = True,
                      wavelet=cfg.wavelet_filter, drop_type=cfg.drop_type,
                      drop_momentum=cfg.drop_momentum,
                      drop_threshold=cfg.drop_threshold,
-                     pruning_threshold_list=cfg.pruning_threshold_list)
+                     pruning_threshold_list=cfg.pruning_threshold_list,
+                     interp_backend=cfg.interp_backend)
 
     key = jax.random.key(cfg.seed)
     k_model, k_var, k_train = jax.random.split(key, 3)
