@@ -126,6 +126,16 @@ def gather_volume(volume: jax.Array, int_points: jax.Array) -> jax.Array:
     return volume[int_points[:, 0], int_points[:, 1], int_points[:, 2]]
 
 
+def generate_regular_grid_interpolator(volume):
+    """scipy RegularGridInterpolator over the index lattice (reference:
+    data/Interpolation.py:93-99; unused by training, provided for parity)."""
+    import numpy as _np
+    from scipy.interpolate import RegularGridInterpolator
+    vol = _np.asarray(volume)
+    axes = [_np.arange(s, dtype=_np.float64) for s in vol.shape]
+    return RegularGridInterpolator(tuple(axes), vol)
+
+
 def finite_difference_gradient(volume, points, min_bb, max_bb, res, scale=None):
     """Central-difference gradient via offset re-interpolation.
 

@@ -78,6 +78,46 @@ def plot_hyperparam_analysis(base_dir: str, param_key: str, out_path: str,
     return out_path
 
 
+def plot_parallel_coordinates(base_dir: str, param_keys, out_path: str,
+                              color_key: str = 'psnr') -> str:
+    """Parallel-coordinates view of hyperparameters across runs, colored by an
+    objective (reference: pltUtils.generateParallelCoordinatesPlot, plotly ->
+    matplotlib here)."""
+    plt = _plt()
+    import matplotlib as mpl
+    runs = collect_experiments(base_dir)
+    rows, colors = [], []
+    for r in runs:
+        try:
+            rows.append([float(r['config'][k]) for k in param_keys])
+            colors.append(float(r['info'].get(color_key, 0.0)))
+        except (KeyError, ValueError, TypeError):
+            continue
+    if not rows:
+        raise ValueError('no complete runs found')
+    data = np.asarray(rows)
+    # normalize each column to [0, 1]
+    lo, hi = data.min(0), data.max(0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    norm = (data - lo) / span
+    cmap = mpl.colormaps['viridis']
+    cn = mpl.colors.Normalize(min(colors), max(colors))
+    fig, ax = plt.subplots(figsize=(1.5 * len(param_keys) + 2, 4))
+    for row, c in zip(norm, colors):
+        ax.plot(range(len(param_keys)), row, color=cmap(cn(c)), alpha=0.7)
+    ax.set_xticks(range(len(param_keys)))
+    ax.set_xticklabels(param_keys, rotation=30, ha='right')
+    for i, (l, h) in enumerate(zip(lo, hi)):
+        ax.text(i, -0.06, f'{l:.3g}', ha='center', va='top', fontsize=7)
+        ax.text(i, 1.02, f'{h:.3g}', ha='center', va='bottom', fontsize=7)
+    fig.colorbar(mpl.cm.ScalarMappable(norm=cn, cmap=cmap), ax=ax,
+                 label=color_key)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def plot_weight_histograms(params, out_path: str) -> str:
     """Histograms of wavelet-coefficient magnitudes per pyramid level
     (generate_plot.py's weight-histogram figures)."""
