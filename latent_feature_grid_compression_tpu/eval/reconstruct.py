@@ -29,31 +29,43 @@ def field_from_net(spec: ModelSpec, params: ModelParams, meta: VolumeMeta,
     """Reconstruct the full volume; returns (X, Y, Z) float32.
 
     Matches the eval path of the reference model (clamp to [-1,1],
-    Feature_Grid_Model.py:77-78) over the full lattice
-    (OutputToVTK.py:7-47 semantics without the tile loop).
+    Feature_Grid_Model.py:77-78) over the full lattice (OutputToVTK.py:7-47
+    semantics without the tile loop).  Lattice coordinates are generated
+    on-device and the whole reconstruction runs as one jitted lax.map over
+    row-major chunks — a single dispatch, no host->device coordinate upload
+    (the reference round-trips every 32^3 tile, OutputToVTK.py:39-42).
     """
-    coords = lattice_coords(meta)                       # (N, 3) float32
-    n = coords.shape[0]
+    X, Y, Z = meta.resolution
+    n = meta.n_voxels
     n_chunks = math.ceil(n / chunk)
-    pad = n_chunks * chunk - n
-    coords = np.pad(coords, ((0, pad), (0, 0)))
-
-    # decode the grid once; reuse for every chunk
-    grid = jax.jit(lambda p: decode_volume(spec, p))(params)
+    n_pad = n_chunks * chunk
+    scales = jnp.asarray(meta.scales)
+    res = jnp.asarray([X, Y, Z], jnp.int32)
+    max_idx = jnp.asarray(meta.max_idx)
 
     @jax.jit
-    def eval_chunk(grid, params, c):
-        feats = grid_sample_3d(grid, c)
-        emb = fourier_embed(c, spec.n_freqs)
-        x = jnp.concatenate([c, emb, feats], axis=-1)
-        out = mlp_apply(list(params.mlp_w), list(params.mlp_b), x, snake_alt)
-        return jnp.clip(out, -1.0, 1.0)
+    def reconstruct(params):
+        grid = decode_volume(spec, params)
 
-    outs = []
-    for i in range(n_chunks):
-        c = jnp.asarray(coords[i * chunk:(i + 1) * chunk])
-        outs.append(np.asarray(eval_chunk(grid, params, c)))
-    full = np.concatenate(outs, axis=0)[:n, 0]
+        def eval_chunk(start):
+            lin = start + jnp.arange(chunk, dtype=jnp.int32)
+            iz = lin % Z
+            iy = (lin // Z) % Y
+            ix = lin // (Y * Z)
+            raw = jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
+            c = (raw / max_idx[None]) * 2.0 - 1.0
+            c = c * scales[None]
+            feats = grid_sample_3d(grid, c)
+            emb = fourier_embed(c, spec.n_freqs)
+            x = jnp.concatenate([c, emb, feats], axis=-1)
+            out = mlp_apply(list(params.mlp_w), list(params.mlp_b), x,
+                            snake_alt)
+            return jnp.clip(out[:, 0], -1.0, 1.0)
+
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        return jax.lax.map(eval_chunk, starts).reshape(n_pad)
+
+    full = np.asarray(reconstruct(params))[:n]
     return full.reshape(meta.resolution).astype(np.float32)
 
 
