@@ -50,7 +50,8 @@ def main():
     spec = make_spec(grid_size=cfg.grid_size, grid_features=cfg.grid_features,
                      hidden=cfg.n_hidden_size, num_layers=cfg.n_layers,
                      drop_type=cfg.drop_type, drop_momentum=cfg.drop_momentum,
-                     drop_threshold=cfg.drop_threshold)
+                     drop_threshold=cfg.drop_threshold,
+                     interp_backend=cfg.interp_backend)
     ph = make_phase_spec(cfg, spec, meta, phase=1)
     params, aux = init_model(jax.random.key(0), spec)
     state = init_train_state(params, None, aux, cfg.lr, cfg.lr,

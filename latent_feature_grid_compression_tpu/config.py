@@ -62,7 +62,7 @@ class TrainConfig:
     mesh_data: int = 1              # data-parallel mesh axis size
     mesh_space: int = 1             # volume-sharding mesh axis size
     compute_dtype: str = 'float32'
-    interp_backend: str = 'xla'     # 'xla' | 'pallas'
+    interp_backend: str = 'auto'    # 'auto' | 'xla' | 'pallas' | 'pallas_bf16'
     profile_dir: str = ''           # jax.profiler trace output dir
 
     def to_dict(self):

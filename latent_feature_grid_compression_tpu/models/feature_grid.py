@@ -48,8 +48,11 @@ class ModelSpec:
     thresholds: Tuple[float, ...] = ()
     # spatial shapes to restore per decode level, coarsest first
     level_shapes: Tuple[Tuple[int, int, int], ...] = ()
-    # feature-fetch backend: 'xla' (gather path) or 'pallas' (fused MXU
-    # one-hot matmul kernel, ops/pallas_kernels.py)
+    # feature-fetch backend: 'xla' (gather path), 'pallas' (fused MXU
+    # one-hot matmul kernel, ~f32 accurate 3-pass), 'pallas_bf16' (single
+    # MXU pass, mixed-precision), or 'auto' (resolved at spec build time:
+    # pallas on TPU when the decoded grid is small enough to be
+    # VMEM-resident, xla otherwise)
     interp_backend: str = 'xla'
 
     @property
@@ -74,11 +77,32 @@ class ModelParams:
     gates: Any = None                       # gate params pytree or None
 
 
+def resolve_interp_backend(backend: str, grid_size: int) -> str:
+    """Resolve 'auto' to the fastest correct backend for this platform.
+
+    The Pallas one-hot-matmul kernel materializes a (block_n, M) weight tile
+    in VMEM, so it only wins while M = grid_size^3 keeps the tile a few MB;
+    beyond that the XLA gather path is faster (its cost is O(N), not O(N*M)).
+    Measured crossover on v5e: well past 16^3; NAS configs reach 62^3 where
+    the matmul formulation is infeasible.
+    """
+    if backend != 'auto':
+        if backend not in ('xla', 'pallas', 'pallas_bf16'):
+            raise ValueError(
+                f"interp_backend must be one of 'auto', 'xla', 'pallas', "
+                f"'pallas_bf16'; got {backend!r}")
+        return backend
+    import jax
+    on_tpu = jax.default_backend() not in ('cpu', 'gpu')
+    return 'pallas' if (on_tpu and grid_size ** 3 <= 8192) else 'xla'
+
+
 def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
               grid_features=16, grid_size=32, wavelet='db2', drop_type='',
               drop_momentum=0.025, drop_threshold=0.75,
               pruning_threshold_list=None, interp_backend='xla') -> ModelSpec:
     """Build a ModelSpec, precomputing the wavelet pyramid level shapes."""
+    interp_backend = resolve_interp_backend(interp_backend, grid_size)
     filt = WaveletFilter3d(wavelet)
     num_levels = dwt_max_level(grid_size, filt.filter_length)
     # level shapes: run the shape recursion of encode_pyramid without data
@@ -167,9 +191,10 @@ def apply_model(spec: ModelSpec, params: ModelParams, coords: jax.Array, *,
     """
     grid = decode_volume(spec, params, train_gates=train_gates, rng=rng,
                          masks=masks)
-    if spec.interp_backend == 'pallas':
+    if spec.interp_backend.startswith('pallas'):
         from ..ops.pallas_kernels import pallas_grid_sample_3d
-        feats = pallas_grid_sample_3d(grid, coords)            # (N, F)
+        prec = 'bf16' if spec.interp_backend == 'pallas_bf16' else 'f32'
+        feats = pallas_grid_sample_3d(grid, coords, precision=prec)  # (N, F)
     else:
         feats = grid_sample_3d(grid, coords)                   # (N, F)
     emb = fourier_embed(coords, spec.n_freqs)
