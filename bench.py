@@ -22,6 +22,9 @@ BASELINE_SAMPLES_PER_SEC = 6.0e6
 
 
 def main():
+    from latent_feature_grid_compression_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from latent_feature_grid_compression_tpu.config import TrainConfig

@@ -17,6 +17,10 @@ from latent_feature_grid_compression_tpu.eval.reconstruct import tiled_net_out
 from latent_feature_grid_compression_tpu.io.checkpoint import load_checkpoint
 from latent_feature_grid_compression_tpu.io.container import restore_model
 from latent_feature_grid_compression_tpu.models.feature_grid import make_spec, init_model
+from latent_feature_grid_compression_tpu.utils.compilation_cache import (
+    enable_compilation_cache)
+
+enable_compilation_cache()
 
 
 def create_model_from_checkpoint(cfg):

@@ -33,7 +33,10 @@ def _make_writer(cfg: TrainConfig):
     try:
         from tensorboardX import SummaryWriter
     except ImportError:
-        return None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError:
+            return None
     if cfg.Tensorboard_log_dir:
         writer = SummaryWriter(cfg.Tensorboard_log_dir)
         write_dict(cfg.to_dict(), 'config.txt', cfg.Tensorboard_log_dir)

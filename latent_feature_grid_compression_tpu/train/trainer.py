@@ -39,6 +39,7 @@ from ..data.volume import VolumeMeta
 from ..models import gates as G
 from ..models.feature_grid import (ModelSpec, ModelParams, apply_model)
 from ..models.variance import apply_variance_model
+from ..ops.interpolation import gather_volume
 from . import losses as L
 
 
@@ -184,7 +185,7 @@ def make_train_step(ph: PhaseSpec, masks, shard_ctx: Optional[ShardCtx] = None):
         norm = (gpos.astype(jnp.float32) / max_idx[None]) * 2.0 - 1.0
         norm = norm * scales[None]
 
-        gt = volume[pos[:, 0], pos[:, 1], pos[:, 2]]               # exact fetch
+        gt = gather_volume(volume, pos)                            # exact fetch
 
         weight_dkl = state.weight_dkl
         if ph.variational and train_gates:
