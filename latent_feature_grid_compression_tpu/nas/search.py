@@ -128,19 +128,43 @@ def hypervolume_2d(points, ref=(0.0, 0.0)) -> float:
 
 
 class MultiObjectiveSearch:
-    """Sobol-style random exploration + Pareto-guided perturbation."""
+    """Exploration then model-guided exploitation.
+
+    ``generation_strategy``:
+      * 'sobol'   — quasi-random exploration + Pareto-frontier perturbation
+        (cheap, zero dependencies);
+      * 'gp_ehvi' — Gaussian-process surrogates + Monte-Carlo expected
+        hypervolume improvement (nas.bayesopt), the numpy equivalent of the
+        reference's Ax Sobol->BoTorch qNEHVI generation strategy
+        (Multi_Objective_NAS.py:211-216).
+    """
 
     def __init__(self, space: Sequence[ParamSpec], total_trials: int = 20,
-                 exploration_fraction: float = 0.5, seed: int = 0):
+                 exploration_fraction: float = 0.5, seed: int = 0,
+                 generation_strategy: str = 'gp_ehvi',
+                 thresholds: Tuple[float, float] = (100.0, 30.0)):
+        if generation_strategy not in ('sobol', 'gp_ehvi'):
+            raise ValueError(f'unknown generation_strategy '
+                             f'{generation_strategy!r}')
         self.space = list(space)
         self.total_trials = total_trials
         self.n_explore = max(1, int(total_trials * exploration_fraction))
         self.rng = random.Random(seed)
         self.completed: List[Trial] = []
+        self.generation_strategy = generation_strategy
+        self._gen = None
+        if generation_strategy == 'gp_ehvi':
+            from .bayesopt import GPEHVIGenerator
+            self._gen = GPEHVIGenerator(space, seed=seed,
+                                        thresholds=thresholds)
 
     def suggest(self, trial_index: int) -> Dict[str, float]:
         if trial_index < self.n_explore or not self._front():
             return {p.name: p.sample(self.rng) for p in self.space}
+        if self._gen is not None:
+            observed = [(t.params, t.objective) for t in self.completed
+                        if t.objective is not None]
+            return self._gen.suggest(observed)
         # exploit: perturb a random Pareto-frontier config
         parent = self.rng.choice(self._front())
         return {p.name: p.perturb(parent.params[p.name], self.rng)
@@ -178,6 +202,7 @@ def run_search(config_path: str, drop_type: str = 'smallify',
                ratio_threshold: float = 100.0,
                extra_overrides: Optional[Dict] = None,
                poll_interval: float = 2.0,
+               generation_strategy: str = 'gp_ehvi',
                dry_run_cmd=None) -> List[Trial]:
     """Run the full NAS loop; returns all trials (metrics attached).
 
@@ -192,7 +217,9 @@ def run_search(config_path: str, drop_type: str = 'smallify',
     else:
         space = SMALLIFY_SPACE
 
-    search = MultiObjectiveSearch(space, total_trials, seed=seed)
+    search = MultiObjectiveSearch(space, total_trials, seed=seed,
+                                  generation_strategy=generation_strategy,
+                                  thresholds=(ratio_threshold, psnr_threshold))
     pending: List[Trial] = []
     next_index = 0
 
