@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .analysis import collect_experiments, pareto_frontier
+from .analysis import collect_experiments, fit_log_linear, pareto_frontier
 
 
 def _plt():
@@ -112,6 +112,127 @@ def plot_parallel_coordinates(base_dir: str, param_keys, out_path: str,
         ax.text(i, 1.02, f'{h:.3g}', ha='center', va='bottom', fontsize=7)
     fig.colorbar(mpl.cm.ScalarMappable(norm=cn, cmap=cmap), ax=ax,
                  label=color_key)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_pareto_with_variance(method_repeat_dirs: Dict[str, Sequence[str]],
+                              out_path: str,
+                              x_key: str = 'compression_ratio',
+                              y_key: str = 'psnr',
+                              n_bins: int = 12) -> str:
+    """Pareto frontiers over repeated NAS runs with a min/max variance band
+    per method (generate_plot.py:169 generateParetoFrontier_With_Variance).
+
+    ``method_repeat_dirs`` maps a method label to the experiment base dirs of
+    its repeated searches (the reference uses 3 repeats per method). Each
+    repeat contributes its own frontier; the band is the min..max envelope of
+    the repeats' frontiers interpolated on a common log-ratio lattice, the
+    line is their mean."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for label, dirs in method_repeat_dirs.items():
+        fronts = []
+        for base in dirs:
+            runs = collect_experiments(base)
+            xs = [float(r['info'][x_key]) for r in runs if x_key in r['info']]
+            ys = [float(r['info'][y_key]) for r in runs if y_key in r['info']]
+            if len(xs) >= 2:
+                fx, fy = pareto_frontier(xs, ys)
+                order = np.argsort(fx)
+                fronts.append((np.asarray(fx)[order], np.asarray(fy)[order]))
+        if not fronts:
+            continue
+        lo = max(f[0].min() for f in fronts)
+        hi = min(f[0].max() for f in fronts)
+        if hi <= lo:  # disjoint ranges: plot raw frontiers, no band
+            for fx, fy in fronts:
+                ax.plot(fx, fy, alpha=0.6, label=label)
+                label = None
+            continue
+        lattice = np.geomspace(lo, hi, n_bins)
+        interp = np.stack([np.interp(np.log(lattice), np.log(fx), fy)
+                           for fx, fy in fronts])
+        line = ax.plot(lattice, interp.mean(0), marker='o', label=label)[0]
+        ax.fill_between(lattice, interp.min(0), interp.max(0),
+                        alpha=0.25, color=line.get_color())
+    ax.set_xlabel('compression ratio')
+    ax.set_ylabel('PSNR [dB]')
+    ax.set_xscale('log')
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_quality_control(base_dir: str, param_key: str, out_path: str,
+                         target_ratios: Sequence[float] = (100, 200, 300,
+                                                           400, 500, 600)
+                         ) -> str:
+    """Hyperparameter-vs-achieved-ratio scatter in log-log space with the
+    fitted log-linear control law overlaid
+    (generate_plot.py:789 curve_quality_control_plot)."""
+    plt = _plt()
+    runs = collect_experiments(base_dir)
+    xs = [float(r['config'][param_key]) for r in runs
+          if param_key in r['config'] and 'compression_ratio' in r['info']]
+    ys = [float(r['info']['compression_ratio']) for r in runs
+          if param_key in r['config'] and 'compression_ratio' in r['info']]
+    if len(xs) < 2:
+        raise ValueError('need >= 2 completed runs to fit the control law')
+    a, b = fit_log_linear(xs, ys)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.scatter(np.log(ys), np.log(xs), alpha=0.5, label='ground-truth runs',
+               color='steelblue')
+    ratio_line = np.linspace(min(target_ratios), max(target_ratios) * 4 / 3,
+                             20)
+    # invert the fitted law: log(param) = (log(ratio) - b) / a
+    ax.plot(np.log(ratio_line), (np.log(ratio_line) - b) / a,
+            label='fitted curve', color='forestgreen')
+    for t in target_ratios:
+        ax.axvline(np.log(t), color='gray', lw=0.5, alpha=0.5)
+    ax.set_xlabel('log compression_ratio')
+    ax.set_ylabel(f'log {param_key}')
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_pruned_ratio_comparison(method_dirs: Dict[str, str], out_path: str,
+                                 upper_limit: float = 600.0) -> str:
+    """Percentage of pruned parameters vs compression ratio per method —
+    the with/without-wavelet pruning comparison
+    (tests/test.py:254 RatioPruned_With_WithoutWavelets)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for label, base in method_dirs.items():
+        runs = collect_experiments(base)
+        pts = []
+        for r in runs:
+            info = r['info']
+            if not {'compression_ratio', 'num_zeros',
+                    'num_parameters'} <= set(info):
+                continue
+            ratio = float(info['compression_ratio'])
+            if ratio < upper_limit:
+                pts.append((ratio, 100.0 * float(info['num_zeros'])
+                            / float(info['num_parameters'])))
+        if not pts:
+            continue
+        pts.sort()
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], marker='o',
+                label=label)
+    ax.set_xlabel('compression ratio')
+    ax.set_ylabel('pruned [%]')
+    ax.legend()
+    ax.grid(alpha=0.3)
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
     plt.close(fig)

@@ -131,3 +131,57 @@ def test_plots(tmp_path):
     params, _ = init_model(jax.random.key(0), spec)
     p2 = plot_weight_histograms(params, str(tmp_path / 'hist.png'))
     assert os.path.exists(p2)
+
+
+def test_plot_pareto_with_variance(tmp_path):
+    from latent_feature_grid_compression_tpu.utils.plots import (
+        plot_pareto_with_variance)
+    rng = np.random.default_rng(3)
+    repeats = []
+    for rep in range(3):
+        base = tmp_path / f'search_{rep}'
+        for i in range(6):
+            d = base / f'r{i}'
+            d.mkdir(parents=True)
+            ratio = float(rng.uniform(40, 400))
+            psnr = 50 - 4 * np.log10(ratio) + rng.uniform(-1, 1)
+            write_dict({'compression_ratio': ratio, 'psnr': float(psnr)},
+                       'info.txt', str(d))
+            write_dict({'lr': 0.008}, 'config.txt', str(d))
+        repeats.append(str(base))
+    p = plot_pareto_with_variance({'smallify': repeats},
+                                  str(tmp_path / 'var.png'))
+    assert os.path.exists(p)
+
+
+def test_plot_quality_control(tmp_path):
+    from latent_feature_grid_compression_tpu.utils.plots import (
+        plot_quality_control)
+    for i, lam in enumerate([1e-9, 1e-8, 1e-7, 1e-6]):
+        d = tmp_path / f'run_{i}'
+        d.mkdir()
+        write_dict({'lambda_drop_loss': lam}, 'config.txt', str(d))
+        write_dict({'compression_ratio': float(np.exp(0.4 * np.log(lam) + 12)),
+                    'psnr': 40.0}, 'info.txt', str(d))
+    p = plot_quality_control(str(tmp_path), 'lambda_drop_loss',
+                             str(tmp_path / 'qc.png'))
+    assert os.path.exists(p)
+
+
+def test_plot_pruned_ratio_comparison(tmp_path):
+    from latent_feature_grid_compression_tpu.utils.plots import (
+        plot_pruned_ratio_comparison)
+    for label in ('with_wavelet', 'without_wavelet'):
+        for i, ratio in enumerate([80, 150, 300, 700]):  # 700 > upper_limit
+            d = tmp_path / label / f'r{i}'
+            d.mkdir(parents=True)
+            write_dict({'compression_ratio': float(ratio),
+                        'num_zeros': 1000.0 * (i + 1),
+                        'num_parameters': 113521, 'psnr': 40.0},
+                       'info.txt', str(d))
+            write_dict({'lr': 0.008}, 'config.txt', str(d))
+    p = plot_pruned_ratio_comparison(
+        {'with wavelet': str(tmp_path / 'with_wavelet'),
+         'without wavelet': str(tmp_path / 'without_wavelet')},
+        str(tmp_path / 'pruned.png'))
+    assert os.path.exists(p)
