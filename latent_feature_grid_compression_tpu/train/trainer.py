@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+from jax.flatten_util import ravel_pytree
 
 from ..config import TrainConfig
 from ..data.volume import VolumeMeta
@@ -51,8 +52,8 @@ from . import losses as L
 class TrainState:
     params: ModelParams
     var_params: Any                   # variance-model pytree or None
-    m: Any                            # Adam first moment (mirrors trainables)
-    v: Any                            # Adam second moment
+    m: Any                            # Adam first moment (flat vector)
+    v: Any                            # Adam second moment (flat vector)
     step: jax.Array                   # int32, Adam t and voxel accounting
     lr: jax.Array                     # applied learning rate
     shadow_lr: jax.Array              # lr as seen by the decay strategy
@@ -96,21 +97,30 @@ class PhaseSpec:
 
 
 def init_adam_like(tree):
-    zeros = jax.tree.map(jnp.zeros_like, tree)
-    return zeros
+    """Adam moments are kept as ONE flat vector, not a mirrored pytree.
+
+    The trainables pytree has ~40 small tensors (wavelet coeff levels, gate
+    params, MLP layers); a per-tensor tree-mapped update emits ~3 fusions per
+    tensor and the per-kernel overhead dominates the actual math (~0.5 ms of
+    a 2.4 ms step measured on v5e).  Flat moments + one fused update kernel
+    make the optimizer nearly free; params are unraveled back at the end
+    (slices fuse into the consumers)."""
+    flat, _ = ravel_pytree(tree)
+    return jnp.zeros_like(flat)
 
 
 def _adam_update(params, grads, m, v, t, lr,
                  b1=0.9, b2=0.999, eps=1e-8):
-    """torch.optim.Adam step (training/training.py:199)."""
-    m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, m, grads)
-    v = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g, v, grads)
+    """torch.optim.Adam step (training/training.py:199), bias-corrected
+    moments and eps outside the sqrt, computed on flattened vectors."""
+    p_flat, unravel = ravel_pytree(params)
+    g_flat, _ = ravel_pytree(grads)
+    m = b1 * m + (1 - b1) * g_flat
+    v = b2 * v + (1 - b2) * g_flat * g_flat
     bc1 = 1.0 - b1 ** t
     bc2 = 1.0 - b2 ** t
-    params = jax.tree.map(
-        lambda p, mm, vv: p - lr * (mm / bc1) / (jnp.sqrt(vv / bc2) + eps),
-        params, m, v)
-    return params, m, v
+    p_flat = p_flat - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+    return unravel(p_flat), m, v
 
 
 # ---------------------------------------------------------------------------
