@@ -111,3 +111,43 @@ def test_neurcomp_lr_decay_applied(tmp_path):
     state, metrics = run(state, jnp.asarray(vol))
     # boundary rule: decay when entering pass k with (k+1) % 3 == 0 -> k=2, 5
     assert float(state.lr) == pytest.approx(cfg.lr * 0.5 ** 2, rel=1e-5)
+
+
+def test_flat_adam_matches_per_tensor_reference():
+    """The flattened-vector Adam must be numerically identical to the naive
+    per-tensor tree-mapped torch.optim.Adam formulation."""
+    from latent_feature_grid_compression_tpu.train.trainer import (
+        _adam_update, init_adam_like)
+
+    key = jax.random.key(7)
+    spec = make_spec(grid_size=8, grid_features=4, hidden=16, num_layers=2,
+                     drop_type='smallify')
+    params, _ = init_model(key, spec)
+    trainables = (params, None)
+    grads = jax.tree.map(lambda p: jnp.cos(p * 3.0) * 0.01, trainables)
+
+    # reference per-tensor update
+    b1, b2, eps, lr, t = 0.9, 0.999, 1e-8, 0.008, 3.0
+    m_ref = jax.tree.map(lambda g: 0.1 * g, grads)       # nonzero moments
+    v_ref = jax.tree.map(lambda g: 0.2 * g * g, grads)
+    m2 = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, m_ref, grads)
+    v2 = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g, v_ref, grads)
+    bc1, bc2 = 1.0 - b1 ** t, 1.0 - b2 ** t
+    p_ref = jax.tree.map(
+        lambda p, mm, vv: p - lr * (mm / bc1) / (jnp.sqrt(vv / bc2) + eps),
+        trainables, m2, v2)
+
+    from jax.flatten_util import ravel_pytree
+    m0, _ = ravel_pytree(m_ref)
+    v0, _ = ravel_pytree(v_ref)
+    p_new, m_new, v_new = _adam_update(trainables, grads, m0, v0, t, lr)
+
+    flat_ref, _ = ravel_pytree(p_ref)
+    flat_new, _ = ravel_pytree(p_new)
+    np.testing.assert_allclose(np.asarray(flat_new), np.asarray(flat_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(m_new),
+                               np.asarray(ravel_pytree(m2)[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_new),
+                               np.asarray(ravel_pytree(v2)[0]), rtol=1e-6)
+    assert init_adam_like(trainables).shape == m0.shape
