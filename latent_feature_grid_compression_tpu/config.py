@@ -64,6 +64,8 @@ class TrainConfig:
     compute_dtype: str = 'float32'
     interp_backend: str = 'auto'    # 'auto' | 'xla' | 'pallas' | 'pallas_bf16'
     profile_dir: str = ''           # jax.profiler trace output dir
+    resume: str = ''                # experiment dir with a mid-training
+                                    # train-state checkpoint to resume from
 
     def to_dict(self):
         d = dataclasses.asdict(self)

@@ -54,6 +54,10 @@ class ModelSpec:
     # pallas on TPU when the decoded grid is small enough to be
     # VMEM-resident, xla otherwise)
     interp_backend: str = 'xla'
+    # 'float32' (default) or 'bfloat16': dtype of the interpolation + MLP
+    # compute path (params and the DWT decode stay f32; casts happen at the
+    # feature-fetch boundary, output is always f32)
+    compute_dtype: str = 'float32'
 
     @property
     def num_levels(self) -> int:
@@ -100,9 +104,17 @@ def resolve_interp_backend(backend: str, grid_size: int) -> str:
 def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
               grid_features=16, grid_size=32, wavelet='db2', drop_type='',
               drop_momentum=0.025, drop_threshold=0.75,
-              pruning_threshold_list=None, interp_backend='xla') -> ModelSpec:
+              pruning_threshold_list=None, interp_backend='xla',
+              compute_dtype='float32') -> ModelSpec:
     """Build a ModelSpec, precomputing the wavelet pyramid level shapes."""
     interp_backend = resolve_interp_backend(interp_backend, grid_size)
+    if compute_dtype in ('bf16', 'bfloat16'):
+        compute_dtype = 'bfloat16'
+    elif compute_dtype in ('f32', 'float32'):
+        compute_dtype = 'float32'
+    else:
+        raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16'; "
+                         f"got {compute_dtype!r}")
     filt = WaveletFilter3d(wavelet)
     num_levels = dwt_max_level(grid_size, filt.filter_length)
     # level shapes: run the shape recursion of encode_pyramid without data
@@ -127,7 +139,8 @@ def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
                      grid_features=grid_features, grid_size=grid_size,
                      wavelet=wavelet, drop_type=drop_type,
                      drop_momentum=drop_momentum, thresholds=thresholds,
-                     level_shapes=level_shapes, interp_backend=interp_backend)
+                     level_shapes=level_shapes, interp_backend=interp_backend,
+                     compute_dtype=compute_dtype)
 
 
 def init_model(key: jax.Array, spec: ModelSpec):
@@ -191,15 +204,24 @@ def apply_model(spec: ModelSpec, params: ModelParams, coords: jax.Array, *,
     """
     grid = decode_volume(spec, params, train_gates=train_gates, rng=rng,
                          masks=masks)
+    bf16 = spec.compute_dtype == 'bfloat16'
     if spec.interp_backend.startswith('pallas'):
         from ..ops.pallas_kernels import pallas_grid_sample_3d
-        prec = 'bf16' if spec.interp_backend == 'pallas_bf16' else 'f32'
+        prec = ('bf16' if (spec.interp_backend == 'pallas_bf16' or bf16)
+                else 'f32')
         feats = pallas_grid_sample_3d(grid, coords, precision=prec)  # (N, F)
     else:
-        feats = grid_sample_3d(grid, coords)                   # (N, F)
+        feats = grid_sample_3d(grid.astype(jnp.bfloat16) if bf16 else grid,
+                               coords)                         # (N, F)
     emb = fourier_embed(coords, spec.n_freqs)
-    x = jnp.concatenate([coords, emb, feats], axis=-1)
-    out = mlp_apply(list(params.mlp_w), list(params.mlp_b), x, snake_alt)
+    x = jnp.concatenate([coords, emb, feats.astype(jnp.float32)], axis=-1)
+    if bf16:
+        out = mlp_apply([w.astype(jnp.bfloat16) for w in params.mlp_w],
+                        [b.astype(jnp.bfloat16) for b in params.mlp_b],
+                        x.astype(jnp.bfloat16), snake_alt)
+        out = out.astype(jnp.float32)
+    else:
+        out = mlp_apply(list(params.mlp_w), list(params.mlp_b), x, snake_alt)
     if not train:
         out = jnp.clip(out, -1.0, 1.0)
     return out

@@ -85,32 +85,17 @@ def make_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,))
+    # NOTE: no donate_argnums — replicate() aliases arrays that already carry
+    # the target sharding, so donating the state would delete buffers the
+    # caller still holds (e.g. the PRNG key reused to seed phase 2).
+    return jax.jit(sharded)
 
 
 def solve_phase_sharded(mesh: Mesh, ph: PhaseSpec, state: TrainState,
                         volume: jax.Array, steps_per_chunk: int, masks=None,
                         use_space: bool = True, writer=None, verbose=True):
-    """Sharded analogue of trainer.solve_phase."""
-    import math as _math
-    from ..train.trainer import _emit_metrics
-
-    run = make_sharded_chunk_runner(mesh, ph, masks, steps_per_chunk, use_space)
-    state = replicate(mesh, state)
-    volume = shard_volume(mesh, volume, use_space)
-    N, V = ph.batch_n, ph.n_voxels
-    t_max = _math.ceil((_math.floor(ph.max_pass) + 1) * V / N) + 1
-    variational = ph.variational and bool(ph.drop_type)
-    while True:
-        start_step = int(state.step)
-        if start_step >= t_max:
-            break
-        state, metrics = run(state, volume)
-        metrics = jax.device_get(metrics)
-        stopped = bool(jax.device_get(state.stop))
-        if writer is not None or verbose:
-            _emit_metrics(metrics, start_step, variational, writer, None,
-                          verbose, ph)
-        if stopped:
-            break
-    return state
+    """Sharded analogue of trainer.solve_phase (thin delegate)."""
+    from ..train.trainer import solve_phase
+    return solve_phase(ph, state, volume, steps_per_chunk, masks=masks,
+                       writer=writer, verbose=verbose, mesh=mesh,
+                       use_space=use_space)

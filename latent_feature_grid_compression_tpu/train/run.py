@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import TrainConfig, write_dict
+from ..config import TrainConfig, write_dict, dict_from_file
 from ..data.volume import load_volume, VolumeMeta
 from ..models.feature_grid import (make_spec, init_model,
                                    save_dropvalues_on_grid, remove_drop_layers,
@@ -26,6 +26,8 @@ from ..models.variance import init_variance_model
 from ..eval.reconstruct import tiled_net_out
 from ..io.checkpoint import save_checkpoint, load_checkpoint
 from ..io.container import store_model_parameters
+from ..io.train_state_io import load_train_state
+from ..utils.profiling import StepTimer
 from .trainer import (make_phase_spec, init_train_state, solve_phase)
 
 
@@ -98,6 +100,28 @@ def evaluate_model_training(spec, params, meta, volume_np, zeros, cfg,
     return info
 
 
+def _build_mesh(cfg: TrainConfig, meta: VolumeMeta, verbose: bool):
+    """Build the ('data','space') device mesh when multi-chip is requested.
+
+    Returns (mesh, use_space).  Green-field multi-chip design (the reference
+    is single-device, training/training.py:15; SURVEY.md §2.3): positions are
+    data-parallel, the GT volume is x-slab-sharded over 'space' when its
+    leading dim divides the axis, replicated otherwise.
+    """
+    from ..parallel.distributed import initialize_distributed
+    initialize_distributed()
+    if cfg.mesh_data * cfg.mesh_space <= 1:
+        return None, False
+    from ..parallel.mesh import make_mesh
+    mesh = make_mesh(data=cfg.mesh_data, space=cfg.mesh_space)
+    use_space = cfg.mesh_space > 1 and meta.resolution[0] % cfg.mesh_space == 0
+    if verbose:
+        placement = ('x-slab sharded' if use_space else 'replicated')
+        print(f"Multi-chip mesh: data={cfg.mesh_data} x space={cfg.mesh_space}"
+              f" ({len(mesh.devices.flat)} devices), volume {placement}")
+    return mesh, use_space
+
+
 def training(cfg: TrainConfig, verbose: bool = True,
              volume_np: Optional[np.ndarray] = None,
              write_vols: bool = True) -> dict:
@@ -107,6 +131,8 @@ def training(cfg: TrainConfig, verbose: bool = True,
     meta = VolumeMeta(tuple(volume_np.shape))
     volume = jnp.asarray(volume_np)
 
+    mesh, use_space = _build_mesh(cfg, meta, verbose)
+
     spec = make_spec(d_in=cfg.d_in, hidden=cfg.n_hidden_size, d_out=cfg.d_out,
                      num_layers=cfg.n_layers, n_freqs=cfg.n_embedding_freq,
                      grid_features=cfg.grid_features, grid_size=cfg.grid_size,
@@ -114,7 +140,8 @@ def training(cfg: TrainConfig, verbose: bool = True,
                      drop_momentum=cfg.drop_momentum,
                      drop_threshold=cfg.drop_threshold,
                      pruning_threshold_list=cfg.pruning_threshold_list,
-                     interp_backend=cfg.interp_backend)
+                     interp_backend=cfg.interp_backend,
+                     compute_dtype=cfg.compute_dtype)
 
     key = jax.random.key(cfg.seed)
     k_model, k_var, k_train = jax.random.split(key, 3)
@@ -127,18 +154,46 @@ def training(cfg: TrainConfig, verbose: bool = True,
         var_params = init_variance_model(k_var, cfg.d_in, 1, 4, 32)
 
     writer = _make_writer(cfg)
+    timer = StepTimer(cfg.batch_size * cfg.sample_size)
+
+    # experiment dir doubles as the mid-training resume location
+    experiment_path = os.path.abspath(os.getcwd()) + cfg.basedir + cfg.expname + '/'
+    os.makedirs(experiment_path, exist_ok=True)
+    resume_phase, resume_dir = 0, ''
+    if cfg.resume:
+        resume_dir = cfg.resume if os.path.isdir(cfg.resume) else \
+            os.path.dirname(cfg.resume)
+        meta_path = os.path.join(resume_dir, 'resume_meta.txt')
+        resume_phase = int(dict_from_file(meta_path)['phase'])
+        if verbose:
+            print(f"Resuming phase {resume_phase} from {resume_dir}")
+
+    solve_kw = dict(writer=writer, verbose=verbose, mesh=mesh,
+                    use_space=use_space, timer=timer)
 
     # --- phase 1: gated training (training/training.py:221-226) ------------
     ph1 = make_phase_spec(cfg, spec, meta, phase=1)
     state = init_train_state(params, var_params, gate_aux, lr=cfg.lr,
                              shadow_lr=cfg.lr, key=k_train,
                              weight_dkl=cfg.lambda_drop_loss)
-    state = solve_phase(ph1, state, volume, cfg.steps_per_chunk,
-                        writer=writer, verbose=verbose)
-    params, gate_aux = state.params, state.gate_aux
+    if resume_phase == 1:
+        state = load_train_state(
+            os.path.join(resume_dir, 'train_state_phase1.npz'), state)
+    if resume_phase < 2:
+        write_dict({'phase': 1}, 'resume_meta.txt', experiment_path)
+        state = solve_phase(
+            ph1, state, volume, cfg.steps_per_chunk,
+            profile_dir=cfg.profile_dir,
+            state_save_path=os.path.join(experiment_path,
+                                         'train_state_phase1.npz'),
+            **solve_kw)
+        params, gate_aux = state.params, state.gate_aux
 
-    # --- bake gates into the grid (Feature_Grid_Model.py:110-128) ----------
-    params, masks, zeros = save_dropvalues_on_grid(spec, params, gate_aux)
+        # --- bake gates into the grid (Feature_Grid_Model.py:110-128) ------
+        params, masks, zeros = save_dropvalues_on_grid(spec, params, gate_aux)
+        _save_bake(experiment_path, masks, zeros)
+    else:
+        masks, zeros = _load_bake(resume_dir)
 
     # --- phase 2: finetune at lr/10 with frozen masks ----------------------
     ph2 = make_phase_spec(cfg, spec, meta, phase=2)
@@ -148,8 +203,19 @@ def training(cfg: TrainConfig, verbose: bool = True,
                               key=jax.random.fold_in(k_train, 1),
                               weight_dkl=float(state.weight_dkl))
     state2 = init_train_state_carryover(state2, state)
-    state2 = solve_phase(ph2, state2, volume, cfg.steps_per_chunk,
-                         masks=masks, writer=writer, verbose=verbose)
+    if resume_phase == 2:
+        state2 = init_train_state(params, state.var_params, gate_aux,
+                                  lr=cfg.lr / 10.0, shadow_lr=cfg.lr,
+                                  key=jax.random.fold_in(k_train, 1),
+                                  weight_dkl=cfg.lambda_drop_loss)
+        state2 = load_train_state(
+            os.path.join(resume_dir, 'train_state_phase2.npz'), state2)
+    write_dict({'phase': 2}, 'resume_meta.txt', experiment_path)
+    state2 = solve_phase(
+        ph2, state2, volume, cfg.steps_per_chunk, masks=masks,
+        state_save_path=os.path.join(experiment_path,
+                                     'train_state_phase2.npz'),
+        **solve_kw)
     params = state2.params
 
     # --- hard prune + evaluate ---------------------------------------------
@@ -157,9 +223,28 @@ def training(cfg: TrainConfig, verbose: bool = True,
     info = evaluate_model_training(spec, params, meta, volume_np, zeros, cfg,
                                    writer=writer, verbose=verbose,
                                    write_vols=write_vols)
+    info.update({'train_' + k: v for k, v in timer.stats().items()})
+    write_dict(info, 'info.txt', experiment_path)
+    write_dict({'phase': 'done'}, 'resume_meta.txt', experiment_path)
     if writer is not None:
         writer.close()
     return info
+
+
+def _save_bake(experiment_path: str, masks, zeros: float) -> None:
+    arrs = {} if masks is None else \
+        {f'mask_{i}': np.asarray(m) for i, m in enumerate(masks)}
+    np.savez(os.path.join(experiment_path, 'bake.npz'),
+             zeros=np.float64(zeros), **arrs)
+
+
+def _load_bake(resume_dir: str):
+    with np.load(os.path.join(resume_dir, 'bake.npz')) as z:
+        zeros = float(z['zeros'])
+        n = sum(1 for k in z.files if k.startswith('mask_'))
+        masks = tuple(jnp.asarray(z[f'mask_{i}']) for i in range(n)) \
+            if n else None
+    return masks, zeros
 
 
 def init_train_state_carryover(state2, state1):

@@ -350,7 +350,8 @@ def make_phase_spec(cfg: TrainConfig, spec: ModelSpec, meta: VolumeMeta, *,
         variational_sigma=cfg.variational_sigma,
         use_smallify_decay=cfg.smallify_decay != 0,
         pass_decay=cfg.smallify_decay if cfg.smallify_decay != 0 else cfg.pass_decay,
-        lr_decay=0.1 if cfg.smallify_decay != 0 else cfg.lr_decay,
+        # both strategies take args['lr_decay'] (learning_rate_decay.py:16,18)
+        lr_decay=cfg.lr_decay,
         lr_stop=1e-7,
         decay_applies_to_lr=(phase == 1),
         use_masks=(phase == 2 and bool(cfg.drop_type)),
@@ -376,21 +377,53 @@ def init_train_state(params: ModelParams, var_params, gate_aux, lr: float,
 
 def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
                 steps_per_chunk: int, masks=None, writer=None,
-                metric_cb=None, verbose: bool = True) -> TrainState:
-    """Run one phase until its pass budget is exhausted or early stop."""
-    run_chunk = make_chunk_runner(ph, masks, steps_per_chunk)
+                metric_cb=None, verbose: bool = True, mesh=None,
+                use_space: bool = True, profile_dir: str = '',
+                timer=None, state_save_path: str = '') -> TrainState:
+    """Run one phase until its pass budget is exhausted or early stop.
+
+    mesh:            run under shard_map over a ('data','space') Mesh —
+                     state replicated, volume x-slab-sharded over 'space'
+                     (green-field multi-chip design; SURVEY.md §2.3).
+    profile_dir:     capture a jax.profiler trace of the second (post-
+                     compile) chunk dispatch.
+    timer:           utils.profiling.StepTimer recording chunk wall-clock.
+    state_save_path: mid-phase TrainState checkpoint, rewritten after every
+                     chunk (atomic replace) so a killed run can --resume.
+    """
+    if mesh is not None:
+        from ..parallel.mesh import (make_sharded_chunk_runner, replicate,
+                                     shard_volume)
+        run_chunk = make_sharded_chunk_runner(mesh, ph, masks,
+                                              steps_per_chunk, use_space)
+        state = replicate(mesh, state)
+        volume = shard_volume(mesh, volume, use_space)
+    else:
+        run_chunk = make_chunk_runner(ph, masks, steps_per_chunk)
     N, V = ph.batch_n, ph.n_voxels
     # steps needed until floor(t*N/V) >= max_pass (deterministic upper bound)
     import math as _math
     t_max = _math.ceil((_math.floor(ph.max_pass) + 1) * V / N) + 1
     variational = ph.variational and bool(ph.drop_type)
+    chunk_idx = 0
     while True:
         start_step = int(state.step)
         if start_step >= t_max:
             break
-        state, metrics = run_chunk(state, volume)
-        metrics = jax.device_get(metrics)
-        stopped = bool(state.stop)
+        import contextlib
+        prof = contextlib.nullcontext()
+        if profile_dir and chunk_idx == 1:       # skip the compile chunk
+            from ..utils.profiling import trace
+            prof = trace(profile_dir)
+        tchunk = (timer.chunk(steps_per_chunk, compile=(chunk_idx == 0))
+                  if timer is not None else contextlib.nullcontext())
+        with prof, tchunk:
+            state, metrics = run_chunk(state, volume)
+            metrics = jax.device_get(metrics)    # host sync inside the timer
+            stopped = bool(jax.device_get(state.stop))
+        chunk_idx += 1
+        if state_save_path:
+            _atomic_save_state(state_save_path, state)
         if writer is not None or metric_cb is not None or verbose:
             _emit_metrics(metrics, start_step, variational, writer, metric_cb,
                           verbose, ph)
@@ -401,17 +434,23 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
     return state
 
 
+def _atomic_save_state(path: str, state: TrainState) -> None:
+    import os
+    from ..io.train_state_io import save_train_state
+    tmp = path + '.tmp.npz'
+    save_train_state(tmp, state)
+    os.replace(tmp, path)
+
+
 def _emit_droprate_histograms(writer, ph, state, step):
     """Per-level variational droprate histograms (training/training.py:163-172)."""
     from ..models import gates as G
-    try:
-        import numpy as _np
-        for lvl in range(len(state.params.coeffs)):
-            rates = _np.asarray(G.variational_dropout_rates(state.params.gates,
-                                                            lvl))
-            writer.add_histogram(f'droprates_layer_{lvl}', rates.ravel(), step)
-    except Exception:
-        pass
+    import numpy as _np
+    if state.params.gates is None:
+        return
+    for lvl in range(len(state.params.coeffs)):
+        rates = _np.asarray(G.variational_dropout_rates(state.params.gates, lvl))
+        writer.add_histogram(f'droprates_layer_{lvl}', rates.ravel(), step)
 
 
 def _emit_metrics(metrics, start_step, variational, writer, metric_cb,

@@ -28,24 +28,26 @@ class StepTimer:
 
     def __init__(self, samples_per_step: int):
         self.samples_per_step = samples_per_step
-        self._chunks: List[tuple] = []   # (n_steps, seconds)
+        self._chunks: List[tuple] = []   # (n_steps, seconds, is_compile)
 
     @contextlib.contextmanager
-    def chunk(self, n_steps: int):
+    def chunk(self, n_steps: int, compile: bool = False):
+        """Time one chunk dispatch; compile=True marks chunks whose wall time
+        includes a jit compile (each phase's first dispatch) — they are
+        reported separately, not mixed into the steady-state rate."""
         t0 = time.perf_counter()
         yield
-        self._chunks.append((n_steps, time.perf_counter() - t0))
+        self._chunks.append((n_steps, time.perf_counter() - t0, compile))
 
     def stats(self) -> Dict[str, float]:
         if not self._chunks:
             return {}
-        # skip the first chunk (compile)
-        body = self._chunks[1:] if len(self._chunks) > 1 else self._chunks
-        steps = sum(n for n, _ in body)
-        secs = sum(s for _, s in body)
+        body = [c for c in self._chunks if not c[2]] or self._chunks
+        steps = sum(n for n, _, _ in body)
+        secs = sum(s for _, s, _ in body)
         return {
             'steps_per_sec': steps / secs if secs else 0.0,
             'samples_per_sec': steps * self.samples_per_step / secs if secs else 0.0,
             'ms_per_step': secs / steps * 1e3 if steps else 0.0,
-            'compile_plus_first_chunk_sec': self._chunks[0][1],
+            'compile_chunks_sec': sum(s for _, s, c in self._chunks if c),
         }

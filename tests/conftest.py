@@ -20,3 +20,7 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")

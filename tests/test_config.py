@@ -53,3 +53,31 @@ def test_threshold_list_parsing(tmp_path):
     write_dict({'pruning_threshold_list': [0.6, 0.7, 0.8]}, 'c.txt', str(tmp_path))
     d = dict_from_file(str(tmp_path / 'c.txt'))
     assert d['pruning_threshold_list'] == [0.6, 0.7, 0.8]
+
+
+def test_all_shipped_configs_parse_and_build_specs():
+    """Every experiment-config-files/*.txt (mirrors of the reference's
+    shipped configs) must load and produce a valid ModelSpec — including
+    'variational_dynamic' (reference mhd_p_HyperparamSearch.txt word order)
+    and per-level pruning_threshold_list."""
+    import os
+    from latent_feature_grid_compression_tpu.models import make_spec
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), '..',
+                           'experiment-config-files')
+    files = sorted(f for f in os.listdir(cfg_dir) if f.endswith('.txt'))
+    assert len(files) >= 9, files
+    for f in files:
+        cfg = load_config(os.path.join(cfg_dir, f))
+        spec = make_spec(grid_size=cfg.grid_size,
+                         grid_features=cfg.grid_features,
+                         hidden=cfg.n_hidden_size, num_layers=cfg.n_layers,
+                         drop_type=cfg.drop_type,
+                         pruning_threshold_list=cfg.pruning_threshold_list,
+                         compute_dtype=cfg.compute_dtype)
+        assert spec.num_levels >= 1, f
+        if f == 'mhd_p_HyperparamSearch.txt':
+            assert spec.thresholds == (0.1, 0.8, 0.9)
+            from latent_feature_grid_compression_tpu.models import gates as G
+            assert G.is_variational(cfg.drop_type)
+            assert 'dynamic' in cfg.drop_type

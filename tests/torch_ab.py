@@ -1,0 +1,220 @@
+"""Torch A/B mirror of the reference training loop.
+
+Reimplements reference training/training.py:71-181 (solve_model) +
+:184-243 (two-phase training) in torch, on a model built from the SAME
+initial parameters as our JAX model, so a head-to-head PSNR comparison
+isolates the training-dynamics parity of the TPU framework from init
+randomness.  Sampling follows data/IndexDataset.py:90-96 (uniform IID
+integer voxel positions, so GT interpolation reduces to an exact gather —
+the identity proven in tests/test_interpolation.py).
+
+Used by tests/test_ab_parity.py (slow-marked) and examples/ab_torch_parity.py
+(the BENCH_NOTES A/B table).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+
+from tests.test_dwt import TorchOracle3d
+
+
+class TorchMirror:
+    """Differentiable torch twin of (spec, params) with optional smallify."""
+
+    def __init__(self, spec, params):
+        t = lambda a: torch.from_numpy(np.asarray(a)).clone()
+        self.spec = spec
+        self.coeffs = [t(c).requires_grad_(True) for c in params.coeffs]
+        self.ws = [t(w).requires_grad_(True) for w in params.mlp_w]
+        self.bs = [t(b).requires_grad_(True) for b in params.mlp_b]
+        self.betas = None
+        self.ema = None
+        self.ema_var = None
+        self.d_masks = None        # frozen masks after bake (phase 2)
+        if spec.drop_type == 'smallify':
+            assert params.gates is not None
+            self.betas = [t(b).requires_grad_(True)
+                          for b in params.gates.betas]
+            # tracker init (Smallify_Dropout.py:88-92)
+            self.ema = [torch.sign(b.detach()) for b in self.betas]
+            self.ema_var = [torch.zeros_like(b.detach()) for b in self.betas]
+        elif spec.drop_type:
+            raise NotImplementedError(spec.drop_type)
+        self.oracle = TorchOracle3d(spec.wavelet)
+
+    def parameters(self):
+        ps = self.coeffs + self.ws + self.bs
+        if self.betas is not None:
+            ps = ps + self.betas
+        return ps
+
+    def decode(self, train_gates: bool):
+        gated = self.coeffs
+        if train_gates and self.betas is not None:
+            if self.d_masks is None:
+                gated = [c * b.unsqueeze(0)
+                         for c, b in zip(self.coeffs, self.betas)]
+            else:  # post-bake: frozen d_mask path (Smallify_Dropout.py:60)
+                gated = [c * m.unsqueeze(0)
+                         for c, m in zip(self.coeffs, self.d_masks)]
+        restored = gated[0].unsqueeze(0)
+        for high, shape in zip(gated[1:], self.spec.level_shapes):
+            data = torch.cat([restored.unsqueeze(2), high.unsqueeze(0)], dim=2)
+            restored = self.oracle.decode(data, np.asarray(shape))
+        return restored[0]
+
+    def forward(self, norm_positions: torch.Tensor, train_gates: bool,
+                clamp: bool = False):
+        grid = self.decode(train_gates)
+        g = norm_positions.view(1, 1, 1, -1, 3)
+        feats = torch.nn.functional.grid_sample(
+            grid.unsqueeze(0), g, mode='bilinear',
+            align_corners=False).squeeze(0).squeeze(1).squeeze(1).transpose(0, 1)
+        n_freqs = self.spec.n_freqs
+        freq = (2.0 ** torch.linspace(0., n_freqs - 1, n_freqs)) * 2 * math.pi
+        parts = []
+        for fq in freq:
+            parts.append(torch.sin(norm_positions * fq))
+            parts.append(torch.cos(norm_positions * fq))
+        x = torch.cat([norm_positions, torch.cat(parts, -1), feats], -1)
+        for w, b in zip(self.ws[:-1], self.bs[:-1]):
+            x = x @ w + b
+            x = 0.5 * x + torch.sin(x) ** 2
+        x = x @ self.ws[-1] + self.bs[-1]
+        if clamp:
+            x = x.clamp(-1, 1)
+        return x
+
+    # --- smallify tracker / bake (Smallify_Dropout.py:94-118, ---------------
+    # --- Feature_Grid_Model.py:110-128) --------------------------------------
+
+    def update_tracker(self):
+        with torch.no_grad():
+            m = self.spec.drop_momentum
+            for i, b in enumerate(self.betas):
+                phi = torch.sign(b) - self.ema[i]
+                self.ema[i] = self.ema[i] + m * phi
+                self.ema_var[i] = (1.0 - m) * (self.ema_var[i] + m * phi * phi)
+
+    def bake(self):
+        with torch.no_grad():
+            masks = [torch.where(v < t, 1.0, 0.0)
+                     for v, t in zip(self.ema_var, self.spec.thresholds)]
+            self.coeffs = [
+                (c * (mk * b).unsqueeze(0)).clone().requires_grad_(True)
+                for c, mk, b in zip(self.coeffs, masks, self.betas)]
+            self.d_masks = masks
+            zeros = sum(float(c.numel() - torch.count_nonzero(c))
+                        for c in self.coeffs)
+            mask_bits = sum(b.numel() for b in self.betas)
+            return masks, zeros - mask_bits / 32.0
+
+    def hard_prune(self):
+        with torch.no_grad():
+            self.coeffs = [c * m.unsqueeze(0)
+                           for c, m in zip(self.coeffs, self.d_masks)]
+            self.betas = None
+
+
+def psnr_full_volume(mirror: TorchMirror, volume: torch.Tensor,
+                     batch: int = 65536) -> float:
+    """Full-lattice reconstruction PSNR (OutputToVTK.py:53-60 formula)."""
+    res = np.asarray(volume.shape)
+    max_idx = torch.tensor(res - 1, dtype=torch.float32)
+    scales = max_idx / max_idx.max()
+    idx = np.stack(np.meshgrid(*[np.arange(n) for n in res],
+                               indexing='ij'), -1).reshape(-1, 3)
+    se = 0.0
+    with torch.no_grad():
+        for i in range(0, idx.shape[0], batch):
+            chunk = torch.from_numpy(idx[i:i + batch]).float()
+            norm = (chunk / max_idx * 2.0 - 1.0) * scales
+            pred = mirror.forward(norm, train_gates=True, clamp=True)[:, 0]
+            gt = volume.reshape(-1)[i:i + batch]
+            se += float(torch.sum((pred - gt) ** 2))
+    mse = se / idx.shape[0]
+    rng = float(volume.max() - volume.min())
+    return 10.0 * math.log10(rng * rng / mse)
+
+
+def solve_model_torch(mirror: TorchMirror, optimizer, volume: torch.Tensor,
+                      cfg, max_pass: float, train_gates: bool,
+                      drop_loss: bool, gen: torch.Generator,
+                      verbose: bool = False):
+    """Reference solve_model (training/training.py:87-179) with IID integer
+    position sampling and the NeurcompDecayStrategy."""
+    res = np.asarray(volume.shape)
+    max_idx = torch.tensor(res - 1, dtype=torch.float32)
+    scales = max_idx / max_idx.max()
+    n_voxels = int(np.prod(res))
+    batch_n = cfg.batch_size * cfg.sample_size
+    voxel_seen, volume_passes, step = 0.0, 0.0, 0
+    flat = volume.reshape(-1)
+    strides = torch.tensor([int(res[1] * res[2]), int(res[2]), 1])
+
+    while int(volume_passes) + 1 < max_pass:
+        step += 1
+        pos = torch.stack([torch.randint(0, int(r), (batch_n,), generator=gen)
+                           for r in res], dim=1)
+        norm = (pos.float() / max_idx * 2.0 - 1.0) * scales
+        gt = flat[(pos * strides).sum(1)]
+
+        optimizer.zero_grad()
+        pred = mirror.forward(norm, train_gates=train_gates)[:, 0]
+        # the reference updates the tracker inside the gate forward, i.e. on
+        # the PRE-step betas (Smallify_Dropout.py:57-58)
+        if train_gates and mirror.betas is not None and mirror.d_masks is None:
+            mirror.update_tracker()
+
+        prior_passes = int(voxel_seen / n_voxels)
+        voxel_seen += batch_n
+        volume_passes = voxel_seen / n_voxels
+
+        loss = torch.mean((pred - gt) ** 2)
+        if drop_loss and mirror.betas is not None:
+            loss = loss + cfg.lambda_drop_loss * sum(
+                torch.abs(b).sum() for b in mirror.betas)
+            loss = loss + cfg.lambda_weight_loss * sum(
+                torch.sum(torch.abs(c) ** 2) for c in mirror.coeffs)
+        loss.backward()
+        optimizer.step()
+
+        # NeurcompDecayStrategy (learning_rate_decay.py:26-31)
+        if (prior_passes != int(volume_passes)
+                and (int(volume_passes) + 1) % cfg.pass_decay == 0):
+            for group in optimizer.param_groups:
+                group['lr'] *= cfg.lr_decay
+        if verbose and step % 100 == 0:
+            print(f"torch pass [{volume_passes:.3f}/{max_pass:.1f}] "
+                  f"loss {float(loss):.5f}")
+        if int(volume_passes) >= max_pass:
+            break
+
+
+def training_torch(spec, params, volume_np: np.ndarray, cfg,
+                   seed: int = 0, verbose: bool = False):
+    """Two-phase reference training (training/training.py:184-243) on the
+    torch mirror; returns (psnr, zeros)."""
+    torch.manual_seed(seed)
+    gen = torch.Generator().manual_seed(seed + 1)
+    mirror = TorchMirror(spec, params)
+    volume = torch.from_numpy(volume_np)
+
+    opt = torch.optim.Adam(mirror.parameters(), lr=cfg.lr)
+    solve_model_torch(mirror, opt, volume, cfg, cfg.max_pass * (2.0 / 3.0),
+                      train_gates=True, drop_loss=bool(spec.drop_type),
+                      gen=gen, verbose=verbose)
+    zeros = 0.0
+    if spec.drop_type:
+        _, zeros = mirror.bake()
+    opt2 = torch.optim.Adam(mirror.parameters(), lr=cfg.lr / 10.0)
+    solve_model_torch(mirror, opt2, volume, cfg, cfg.max_pass * (1.0 / 3.0),
+                      train_gates=True, drop_loss=False, gen=gen,
+                      verbose=verbose)
+    if spec.drop_type:
+        mirror.hard_prune()
+    return psnr_full_volume(mirror, volume), zeros
