@@ -17,13 +17,17 @@ import numpy as np
 
 def _flatten_state(state) -> Dict[str, np.ndarray]:
     leaves, treedef = jax.tree.flatten(state)
-    out = {}
+    keys = set()
     for i, leaf in enumerate(leaves):
-        if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
-            out[f'leaf_{i}__key'] = np.asarray(jax.random.key_data(leaf))
-        else:
-            out[f'leaf_{i}'] = np.asarray(leaf)
-    return out
+        if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype,
+                                                     jax.dtypes.prng_key):
+            leaves[i] = jax.random.key_data(leaf)
+            keys.add(i)
+    # ONE batched device_get: per-leaf np.asarray would pay a full host
+    # round-trip per leaf (~60 leaves), which dominates on remote-TPU setups
+    leaves = jax.device_get(leaves)
+    return {f'leaf_{i}__key' if i in keys else f'leaf_{i}': np.asarray(leaf)
+            for i, leaf in enumerate(leaves)}
 
 
 def save_train_state(path: str, state) -> None:

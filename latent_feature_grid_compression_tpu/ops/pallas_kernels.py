@@ -155,6 +155,105 @@ def _bwd_kernel(pix_ref, cxy_ref, cz_ref, g_ref, st_ref, dg_ref, *,
     dg_ref[:, :] += contrib
 
 
+def _fwd_kernel_blocked(pix_ref, cxy_ref, cz_ref, gstack_ref, s_ref, out_ref,
+                        acc_ref, *, precision):
+    """Forward with the HW axis blocked (large grids): grid = (n_blk, hw_blk),
+    hw innermost; partial W2 @ Gstack contributions accumulate in a VMEM
+    scratch, the z-contraction runs once on the last hw block."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    px = pix_ref[:, 0][:, None]
+    py = pix_ref[:, 1][:, None]
+    w2 = _hat(px, cxy_ref[0, :][None, :]) * _hat(py, cxy_ref[1, :][None, :])
+    acc_ref[:, :] += _dot(w2, gstack_ref[:, :], precision)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finish():
+        pz = pix_ref[:, 2][:, None]
+        hz = _hat(pz, cz_ref[0, :][None, :])
+        out_ref[:, :] = _dot(hz * acc_ref[:, :], s_ref[:, :], precision,
+                             right_exact=True)
+
+
+def _bwd_kernel_blocked(pix_ref, cxy_ref, cz_ref, g_ref, st_ref, dg_ref, *,
+                        precision):
+    """Backward with the HW axis blocked: grid = (hw_blk, n_blk), n innermost
+    accumulating into this hw block's dG_stack slab."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dg_ref[:, :] = jnp.zeros_like(dg_ref)
+
+    px = pix_ref[:, 0][:, None]
+    py = pix_ref[:, 1][:, None]
+    pz = pix_ref[:, 2][:, None]
+    w2 = _hat(px, cxy_ref[0, :][None, :]) * _hat(py, cxy_ref[1, :][None, :])
+    hz = _hat(pz, cz_ref[0, :][None, :])
+    g_exp = _dot(g_ref[:, :], st_ref[:, :], precision, right_exact=True)
+    dg_ref[:, :] += _dot(w2.T, hz * g_exp, precision)
+
+
+def _pallas_forward_blocked(pix, cxy, cz, gstack, s, *, block_n, hw_block,
+                            precision, interpret):
+    n = pix.shape[0]
+    hwp, dcp = gstack.shape
+    cp = s.shape[1]
+    kernel = functools.partial(_fwd_kernel_blocked, precision=precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block_n, hwp // hw_block),
+        in_specs=[
+            pl.BlockSpec((block_n, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hw_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dcp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hw_block, dcp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dcp, cp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, cp), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, cp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_n, dcp), jnp.float32)],
+        interpret=interpret,
+    )(pix, cxy, cz, gstack, s)
+
+
+def _pallas_backward_blocked(pix, cxy, cz, g, st, hwp, *, block_n, hw_block,
+                             precision, interpret):
+    n, cp = g.shape
+    dcp = st.shape[1]
+    kernel = functools.partial(_bwd_kernel_blocked, precision=precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(hwp // hw_block, n // block_n),
+        in_specs=[
+            pl.BlockSpec((block_n, 3), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hw_block), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dcp), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, cp), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, dcp), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hw_block, dcp), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hwp, dcp), jnp.float32),
+        interpret=interpret,
+    )(pix, cxy, cz, g, st)
+
+
 def _pallas_forward(pix, cxy, cz, gstack, s, *, block_n, precision, interpret):
     n = pix.shape[0]
     hwp, dcp = gstack.shape
@@ -203,32 +302,49 @@ def _pallas_backward(pix, cxy, cz, g, st, hwp, *, block_n, precision,
     )(pix, cxy, cz, g, st)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _interp(gstack, consts, block_n, precision, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _interp(gstack, consts, block_n, hw_block, precision, interpret):
+    """hw_block == 0 selects the unblocked (grid fully VMEM-resident) path."""
     pix, cxy, cz, s = consts
+    if hw_block:
+        return _pallas_forward_blocked(pix, cxy, cz, gstack, s,
+                                       block_n=block_n, hw_block=hw_block,
+                                       precision=precision,
+                                       interpret=interpret)
     return _pallas_forward(pix, cxy, cz, gstack, s, block_n=block_n,
                            precision=precision, interpret=interpret)
 
 
-def _interp_fwd(gstack, consts, block_n, precision, interpret):
-    out = _interp(gstack, consts, block_n, precision, interpret)
+def _interp_fwd(gstack, consts, block_n, hw_block, precision, interpret):
+    out = _interp(gstack, consts, block_n, hw_block, precision, interpret)
     return out, (consts, gstack.shape[0])
 
 
-def _interp_bwd(block_n, precision, interpret, res, g):
+def _interp_bwd(block_n, hw_block, precision, interpret, res, g):
     (pix, cxy, cz, s), hwp = res
-    dg = _pallas_backward(pix, cxy, cz, g, s.T, hwp, block_n=block_n,
-                          precision=precision, interpret=interpret)
+    if hw_block:
+        dg = _pallas_backward_blocked(pix, cxy, cz, g, s.T, hwp,
+                                      block_n=block_n, hw_block=hw_block,
+                                      precision=precision,
+                                      interpret=interpret)
+    else:
+        dg = _pallas_backward(pix, cxy, cz, g, s.T, hwp, block_n=block_n,
+                              precision=precision, interpret=interpret)
     return dg, None
 
 
 _interp.defvjp(_interp_fwd, _interp_bwd)
 
 
+# Unblocked path only while the whole padded G_stack + weight tiles fit
+# comfortably in VMEM; above this the HW axis is blocked.
+_UNBLOCKED_HW_LIMIT = 512
+
+
 def _pick_block_n(hwp: int, dcp: int) -> int:
     """Largest sample block whose per-row VMEM footprint (the xy-weight tile
     plus ~3 (bn, DCp) f32 temporaries and bf16 splits) stays within ~8 MB."""
-    per_row = (hwp + 3 * dcp) * 4 * 2
+    per_row = (min(hwp, _UNBLOCKED_HW_LIMIT) + 3 * dcp) * 4 * 2
     for bn in (2048, 1024, 512, 256):
         if bn * per_row <= 8 * 1024 * 1024:
             return bn
@@ -249,9 +365,12 @@ def pallas_grid_sample_3d(features: jax.Array, coords: jax.Array,
     """
     C, D, H, W = features.shape
     n = coords.shape[0]
-    hwp = _round_up(H * W, 128)
     dcp = _round_up(D * C, 128)
     cp = _round_up(C, 128)
+    # large grids: block the HW axis (grid=(n,hw) with a VMEM accumulator)
+    # so the padded G_stack never has to be VMEM-resident at once
+    hw_block = _UNBLOCKED_HW_LIMIT if H * W > _UNBLOCKED_HW_LIMIT else 0
+    hwp = _round_up(H * W, hw_block or 128)
     block_n = _pick_block_n(hwp, dcp)
     sizes = jnp.asarray([W, H, D], dtype=coords.dtype)
     pix = ((coords + 1.0) * sizes - 1.0) * 0.5   # align_corners=False
@@ -266,5 +385,5 @@ def pallas_grid_sample_3d(features: jax.Array, coords: jax.Array,
     gstack = jnp.transpose(features, (2, 3, 1, 0)).reshape(H * W, D * C)
     gstack = jnp.pad(gstack, ((0, hwp - H * W), (0, dcp - D * C)))
     out = _interp(gstack, (jax.lax.stop_gradient(pix), cxy, cz, s),
-                  block_n, precision, interpret)
+                  block_n, hw_block, precision, interpret)
     return out[:n, :C]

@@ -406,6 +406,8 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
     t_max = _math.ceil((_math.floor(ph.max_pass) + 1) * V / N) + 1
     variational = ph.variational and bool(ph.drop_type)
     chunk_idx = 0
+    import time as _time
+    last_save = _time.monotonic()
     while True:
         start_step = int(state.step)
         if start_step >= t_max:
@@ -422,8 +424,12 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
             metrics = jax.device_get(metrics)    # host sync inside the timer
             stopped = bool(jax.device_get(state.stop))
         chunk_idx += 1
-        if state_save_path:
+        # checkpoint at most every ~60 s — a per-chunk device->host state
+        # fetch would dominate short chunks on remote-TPU links
+        if state_save_path and (stopped
+                                or _time.monotonic() - last_save > 60.0):
             _atomic_save_state(state_save_path, state)
+            last_save = _time.monotonic()
         if writer is not None or metric_cb is not None or verbose:
             _emit_metrics(metrics, start_step, variational, writer, metric_cb,
                           verbose, ph)
@@ -431,6 +437,8 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
             _emit_droprate_histograms(writer, ph, state, int(state.step))
         if stopped:
             break
+    if state_save_path:   # final state always lands on disk
+        _atomic_save_state(state_save_path, state)
     return state
 
 

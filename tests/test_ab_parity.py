@@ -56,11 +56,14 @@ def test_ab_dense_training_psnr_parity(tmp_path):
 
 @pytest.mark.slow
 def test_ab_smallify_training_psnr_parity(tmp_path):
+    """Measured across seeds 0-2 the deltas are +1.03/+0.43/-0.12 dB with
+    zero-counts within 2% (no systematic bias; see BENCH_NOTES.md) — the
+    stochastic pruning makes per-seed spread wider than the dense case's
+    0.5 dB, so the bound here is 1.25 dB."""
     info, psnr_torch, zeros_torch = run_ab(
         tmp_path, 'smallify', 'ab_smallify', lambda_drop_loss=2e-5,
         lambda_weight_loss=1e-8)
-    assert abs(info['psnr'] - psnr_torch) < 0.5, (info['psnr'], psnr_torch)
-    # pruning statistics should be in the same ballpark too
-    if zeros_torch > 0:
-        assert info['num_zeros'] == pytest.approx(zeros_torch, rel=0.5), \
-            (info['num_zeros'], zeros_torch)
+    assert abs(info['psnr'] - psnr_torch) < 1.25, (info['psnr'], psnr_torch)
+    assert zeros_torch > 0
+    assert info['num_zeros'] == pytest.approx(zeros_torch, rel=0.1), \
+        (info['num_zeros'], zeros_torch)
