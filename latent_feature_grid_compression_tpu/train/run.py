@@ -164,7 +164,12 @@ def training(cfg: TrainConfig, verbose: bool = True,
         resume_dir = cfg.resume if os.path.isdir(cfg.resume) else \
             os.path.dirname(cfg.resume)
         meta_path = os.path.join(resume_dir, 'resume_meta.txt')
-        resume_phase = int(dict_from_file(meta_path)['phase'])
+        phase_val = dict_from_file(meta_path)['phase']
+        if phase_val == 'done':
+            raise ValueError(
+                f"{resume_dir} finished training (resume_meta phase=done); "
+                f"use --checkpoint_path for a warm start instead")
+        resume_phase = int(phase_val)
         if verbose:
             print(f"Resuming phase {resume_phase} from {resume_dir}")
 

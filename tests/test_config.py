@@ -81,3 +81,22 @@ def test_all_shipped_configs_parse_and_build_specs():
             from latent_feature_grid_compression_tpu.models import gates as G
             assert G.is_variational(cfg.drop_type)
             assert 'dynamic' in cfg.drop_type
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIGS), reason='no reference configs')
+def test_shipped_variational_configs_match_reference_hparams():
+    """The shipped flagship variational configs must carry the reference's
+    loss hyperparameters (a 1e-8 placeholder lambda silently disables DKL
+    pruning entirely — caught live in round 3)."""
+    pairs = [('mhd_p_static_variational.txt', 'mhd_p_static_variational.txt'),
+             ('mhd_p_dynamic_variational.txt', 'mhd_p_dynamic_variational.txt')]
+    ours_dir = os.path.join(os.path.dirname(__file__), '..',
+                            'experiment-config-files')
+    for ours, ref in pairs:
+        a = dict_from_file(os.path.join(ours_dir, ours))
+        b = dict_from_file(os.path.join(REF_CONFIGS, ref))
+        for k in ('lambda_drop_loss', 'lambda_weight_loss', 'drop_momentum',
+                  'weight_dkl_multiplier', 'variational_sigma', 'drop_threshold',
+                  'lr', 'lr_decay', 'max_pass', 'pass_decay', 'grid_features',
+                  'grid_size', 'batch_size', 'sample_size'):
+            assert a[k] == b[k], (ours, k, a[k], b[k])

@@ -151,3 +151,38 @@ def test_flat_adam_matches_per_tensor_reference():
     np.testing.assert_allclose(np.asarray(v_new),
                                np.asarray(ravel_pytree(v2)[0]), rtol=1e-6)
     assert init_adam_like(trainables).shape == m0.shape
+
+
+def test_weight_dkl_pressure_reaches_gate_gradients():
+    """lambda_drop_loss (initial weight_dkl) must scale the DKL pull on the
+    variational gate parameters — guards the wiring from config to loss
+    (with a 1e-8 lambda the DKL term is numerically invisible and
+    variational runs silently never prune)."""
+    from latent_feature_grid_compression_tpu.train.trainer import (
+        make_phase_spec, init_train_state, make_train_step)
+
+    vol = jnp.asarray(synthetic_volume(16))
+    meta = VolumeMeta((16, 16, 16))
+    deltas = []
+    for ldl in (1.0, 200.0):
+        cfg = TrainConfig(drop_type='static_variational', batch_size=64,
+                          sample_size=8, grid_size=8, grid_features=4,
+                          n_hidden_size=16, n_layers=2, lr=0.01,
+                          lambda_drop_loss=ldl, lambda_weight_loss=2.0,
+                          variational_sigma=-7.0, weight_dkl_multiplier=5e-5,
+                          drop_momentum=0.1, drop_threshold=0.9)
+        spec = make_spec(grid_size=8, grid_features=4, hidden=16, num_layers=2,
+                         drop_type=cfg.drop_type,
+                         drop_momentum=cfg.drop_momentum,
+                         drop_threshold=cfg.drop_threshold)
+        ph = make_phase_spec(cfg, spec, meta, phase=1)
+        params, aux = init_model(jax.random.key(0), spec)
+        state = init_train_state(params, None, aux, cfg.lr, cfg.lr,
+                                 jax.random.key(1), cfg.lambda_drop_loss)
+        assert float(state.weight_dkl) == ldl
+        s2, metrics = make_train_step(ph, None)(state, vol)
+        deltas.append(np.asarray(s2.params.gates.log_var[0]
+                                 - state.params.gates.log_var[0]))
+        assert np.isfinite(float(metrics['DKL_loss']))
+    assert not np.allclose(deltas[0], deltas[1]), \
+        "DKL weight had no effect on gate updates"
