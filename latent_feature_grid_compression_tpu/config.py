@@ -63,6 +63,8 @@ class TrainConfig:
     mesh_space: int = 1             # volume-sharding mesh axis size
     compute_dtype: str = 'float32'
     interp_backend: str = 'auto'    # 'auto' | 'xla' | 'pallas' | 'pallas_bf16'
+    rng_impl: str = 'rbg'           # 'rbg' (TPU-hardware bit generator) |
+                                    # 'threefry2x32' (jax default, slower)
     profile_dir: str = ''           # jax.profiler trace output dir
     resume: str = ''                # experiment dir with a mid-training
                                     # train-state checkpoint to resume from

@@ -88,7 +88,15 @@ def make_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
     # NOTE: no donate_argnums — replicate() aliases arrays that already carry
     # the target sharding, so donating the state would delete buffers the
     # caller still holds (e.g. the PRNG key reused to seed phase 2).
-    return jax.jit(sharded)
+    def run(state: TrainState, volume: jax.Array):
+        st, metrics = sharded(state, volume)
+        # one-fetch protocol of trainer.make_chunk_runner (see there)
+        metrics = dict(metrics)
+        metrics['_stop'] = st.stop
+        metrics['_step'] = st.step
+        return st, metrics
+
+    return jax.jit(run)
 
 
 def solve_phase_sharded(mesh: Mesh, ph: PhaseSpec, state: TrainState,

@@ -323,8 +323,15 @@ def make_chunk_runner(ph: PhaseSpec, masks, steps_per_chunk: int):
 
     @jax.jit
     def run_chunk(state: TrainState, volume: jax.Array):
-        return jax.lax.scan(lambda s, _: step(s, volume), state,
-                            None, length=steps_per_chunk)
+        state, metrics = jax.lax.scan(lambda s, _: step(s, volume), state,
+                                      None, length=steps_per_chunk)
+        # final stop flag / step count ride along so the host loop needs ONE
+        # device fetch per chunk (each fetch is a full round trip on
+        # remote-TPU links)
+        metrics = dict(metrics)
+        metrics['_stop'] = state.stop
+        metrics['_step'] = state.step
+        return state, metrics
 
     return run_chunk
 
@@ -405,38 +412,63 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
     import math as _math
     t_max = _math.ceil((_math.floor(ph.max_pass) + 1) * V / N) + 1
     variational = ph.variational and bool(ph.drop_type)
-    chunk_idx = 0
+    import contextlib
     import time as _time
     last_save = _time.monotonic()
-    while True:
-        start_step = int(state.step)
-        if start_step >= t_max:
-            break
-        import contextlib
+    last_hist = -float('inf')
+
+    def _process(entry):
+        """Fetch + handle one finished chunk's results (ONE device fetch)."""
+        nonlocal last_save, last_hist
+        s0, st, ms = entry
+        ms = jax.device_get(ms)
+        stop_now = bool(ms.pop('_stop'))
+        true_step = int(ms.pop('_step'))
+        # checkpoint at most every ~60 s — a per-chunk device->host state
+        # fetch would dominate short chunks on remote-TPU links
+        if state_save_path and (stop_now
+                                or _time.monotonic() - last_save > 60.0):
+            _atomic_save_state(state_save_path, st)
+            last_save = _time.monotonic()
+        if writer is not None or metric_cb is not None or verbose:
+            _emit_metrics(ms, s0, variational, writer, metric_cb, verbose, ph)
+        # histograms pull gate tensors to the host: throttle like the saves
+        if variational and writer is not None and (
+                stop_now or _time.monotonic() - last_hist > 30.0):
+            _emit_droprate_histograms(writer, ph, st, true_step)
+            last_hist = _time.monotonic()
+        return stop_now
+
+    # Depth-1 software pipeline: dispatch chunk k+1 BEFORE fetching chunk k's
+    # metrics so the (remote) device round trip overlaps device compute.
+    # Cost: the stop flag is observed one chunk late — the extra chunk runs
+    # guarded_step's idle branch (state.step does not advance), so budget
+    # accounting and resume are unaffected.
+    chunk_idx = 0
+    dispatched = int(state.step)     # single entry sync
+    pending = None
+    stopped = False
+    while dispatched < t_max and not stopped:
         prof = contextlib.nullcontext()
+        sync_in_trace = False
         if profile_dir and chunk_idx == 1:       # skip the compile chunk
             from ..utils.profiling import trace
             prof = trace(profile_dir)
+            sync_in_trace = True                 # trace must span execution
         tchunk = (timer.chunk(steps_per_chunk, compile=(chunk_idx == 0))
                   if timer is not None else contextlib.nullcontext())
         with prof, tchunk:
-            state, metrics = run_chunk(state, volume)
-            metrics = jax.device_get(metrics)    # host sync inside the timer
-            stopped = bool(jax.device_get(state.stop))
+            entry_state, metrics = run_chunk(state, volume)
+            state = entry_state
+            if sync_in_trace:
+                _ = jax.device_get(metrics['loss'])
+            if pending is not None:
+                stopped = _process(pending)
+            pending = (dispatched, entry_state, metrics)
+        dispatched += steps_per_chunk
         chunk_idx += 1
-        # checkpoint at most every ~60 s — a per-chunk device->host state
-        # fetch would dominate short chunks on remote-TPU links
-        if state_save_path and (stopped
-                                or _time.monotonic() - last_save > 60.0):
-            _atomic_save_state(state_save_path, state)
-            last_save = _time.monotonic()
-        if writer is not None or metric_cb is not None or verbose:
-            _emit_metrics(metrics, start_step, variational, writer, metric_cb,
-                          verbose, ph)
-        if variational and writer is not None:
-            _emit_droprate_histograms(writer, ph, state, int(state.step))
-        if stopped:
-            break
+    if pending is not None:
+        _process(pending)
     if state_save_path:   # final state always lands on disk
         _atomic_save_state(state_save_path, state)
     return state

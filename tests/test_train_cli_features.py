@@ -242,3 +242,27 @@ def test_dynamic_variational_variance_model_updates():
                 for a, b in zip(jax.tree.leaves(var0),
                                 jax.tree.leaves(state.var_params)))
     assert delta > 1e-6, "variance model received no updates"
+
+
+def test_rng_impl_flag(tmp_path):
+    """cfg.rng_impl selects the PRNG family; both train end-to-end."""
+    import numpy as np
+    from latent_feature_grid_compression_tpu.config import TrainConfig
+    from latent_feature_grid_compression_tpu.train import training
+
+    n = 16
+    x, y, z = np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing='ij')
+    vol = (np.sin(3 * x) * np.cos(2 * y)).astype(np.float32)
+    psnrs = {}
+    for impl in ('rbg', 'threefry2x32'):
+        cfg = TrainConfig(expname='rng_' + impl, data='',
+                          basedir=f'/{os.path.relpath(tmp_path)}/',
+                          drop_type='', max_pass=4, batch_size=64,
+                          sample_size=8, grid_size=8, grid_features=4,
+                          n_hidden_size=16, n_layers=2, steps_per_chunk=25,
+                          rng_impl=impl)
+        info = training(cfg, verbose=False, volume_np=vol, write_vols=False)
+        psnrs[impl] = info['psnr']
+        assert np.isfinite(info['psnr']) and info['psnr'] > 10.0, (impl, info)
+    # different streams, same statistics: both must learn
+    assert abs(psnrs['rbg'] - psnrs['threefry2x32']) < 15.0
