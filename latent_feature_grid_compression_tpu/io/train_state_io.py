@@ -41,8 +41,11 @@ def load_train_state(path: str, template):
         new_leaves = []
         for i, leaf in enumerate(leaves):
             if f'leaf_{i}__key' in z:
+                # wrap with the template's PRNG impl (rbg keys carry 4 words,
+                # threefry 2 — wrap_key_data defaults to threefry otherwise)
+                impl = jax.random.key_impl(leaf)
                 new_leaves.append(jax.random.wrap_key_data(
-                    jnp.asarray(z[f'leaf_{i}__key'])))
+                    jnp.asarray(z[f'leaf_{i}__key']), impl=impl))
             else:
                 arr = jnp.asarray(z[f'leaf_{i}'])
                 assert arr.shape == jnp.shape(leaf), (i, arr.shape, jnp.shape(leaf))

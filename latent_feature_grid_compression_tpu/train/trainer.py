@@ -439,36 +439,42 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
             last_hist = _time.monotonic()
         return stop_now
 
-    # Depth-1 software pipeline: dispatch chunk k+1 BEFORE fetching chunk k's
-    # metrics so the (remote) device round trip overlaps device compute.
-    # Cost: the stop flag is observed one chunk late — the extra chunk runs
-    # guarded_step's idle branch (state.step does not advance), so budget
+    # Software pipeline: chunk k's host-side processing (metrics fetch, TB
+    # scalar emission, throttled state saves) runs on a worker thread while
+    # chunk k+1 executes on the device.  This matters twice on remote-TPU
+    # links: the metrics fetch is a full round trip, and the per-step TB
+    # writes are hundreds of ms of host Python per chunk — serialized, they
+    # were ~half the product step time (5.2 ms/step vs the 2.4 ms bare step).
+    # Cost: the stop flag is observed up to two chunks late — extra chunks
+    # run guarded_step's idle branch (state.step does not advance), so budget
     # accounting and resume are unaffected.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
     chunk_idx = 0
     dispatched = int(state.step)     # single entry sync
-    pending = None
     stopped = False
-    while dispatched < t_max and not stopped:
-        prof = contextlib.nullcontext()
-        sync_in_trace = False
-        if profile_dir and chunk_idx == 1:       # skip the compile chunk
-            from ..utils.profiling import trace
-            prof = trace(profile_dir)
-            sync_in_trace = True                 # trace must span execution
-        tchunk = (timer.chunk(steps_per_chunk, compile=(chunk_idx == 0))
-                  if timer is not None else contextlib.nullcontext())
-        with prof, tchunk:
-            entry_state, metrics = run_chunk(state, volume)
-            state = entry_state
-            if sync_in_trace:
-                _ = jax.device_get(metrics['loss'])
-            if pending is not None:
-                stopped = _process(pending)
-            pending = (dispatched, entry_state, metrics)
-        dispatched += steps_per_chunk
-        chunk_idx += 1
-    if pending is not None:
-        _process(pending)
+    futures = deque()
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        while dispatched < t_max and not stopped:
+            prof = contextlib.nullcontext()
+            sync_in_trace = False
+            if profile_dir and chunk_idx == 1:   # skip the compile chunk
+                from ..utils.profiling import trace
+                prof = trace(profile_dir)
+                sync_in_trace = True             # trace must span execution
+            tchunk = (timer.chunk(steps_per_chunk, compile=(chunk_idx == 0))
+                      if timer is not None else contextlib.nullcontext())
+            with prof, tchunk:
+                state, metrics = run_chunk(state, volume)
+                if sync_in_trace:
+                    _ = jax.device_get(metrics['loss'])
+            futures.append(ex.submit(_process, (dispatched, state, metrics)))
+            dispatched += steps_per_chunk
+            chunk_idx += 1
+            while futures and (futures[0].done() or len(futures) > 1):
+                stopped = futures.popleft().result() or stopped
+        while futures:
+            stopped = futures.popleft().result() or stopped
     if state_save_path:   # final state always lands on disk
         _atomic_save_state(state_save_path, state)
     return state
