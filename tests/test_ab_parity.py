@@ -34,7 +34,9 @@ def run_ab(tmp_path, drop_type, expname, **cfg_kw):
                       drop_type=drop_type, max_pass=30, batch_size=256,
                       sample_size=8, grid_size=8, grid_features=8,
                       n_hidden_size=16, n_layers=2, steps_per_chunk=64,
-                      lr=0.01, pass_decay=20, lr_decay=0.2, seed=0, **cfg_kw)
+                      lr=0.01, pass_decay=20, lr_decay=0.2, seed=0,
+                      rng_impl='threefry2x32',   # init below must match
+                      **cfg_kw)
     spec = make_spec(grid_size=cfg.grid_size, grid_features=cfg.grid_features,
                      hidden=cfg.n_hidden_size, num_layers=cfg.n_layers,
                      drop_type=cfg.drop_type, drop_momentum=cfg.drop_momentum,
