@@ -58,7 +58,8 @@ def main():
     ph = make_phase_spec(cfg, spec, meta, phase=1)
     params, aux = init_model(jax.random.key(0), spec)
     state = init_train_state(params, None, aux, cfg.lr, cfg.lr,
-                             jax.random.key(1), cfg.lambda_drop_loss)
+                             jax.random.key(1, impl=cfg.rng_impl),
+                             cfg.lambda_drop_loss)
     volume = jnp.asarray(vol)
 
     steps_per_chunk = 100

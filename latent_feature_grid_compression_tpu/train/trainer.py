@@ -468,11 +468,16 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
                 state, metrics = run_chunk(state, volume)
                 if sync_in_trace:
                     _ = jax.device_get(metrics['loss'])
-            futures.append(ex.submit(_process, (dispatched, state, metrics)))
+                futures.append(ex.submit(_process, (dispatched, state,
+                                                    metrics)))
+                # backpressure: dispatch is async on some PJRT backends, so
+                # blocking on the oldest in-flight chunk here both bounds the
+                # pipeline depth and makes the timed chunk wall reflect the
+                # true sustained rate
+                while futures and (futures[0].done() or len(futures) > 1):
+                    stopped = futures.popleft().result() or stopped
             dispatched += steps_per_chunk
             chunk_idx += 1
-            while futures and (futures[0].done() or len(futures) > 1):
-                stopped = futures.popleft().result() or stopped
         while futures:
             stopped = futures.popleft().result() or stopped
     if state_save_path:   # final state always lands on disk
