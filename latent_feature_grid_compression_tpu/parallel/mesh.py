@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..train.trainer import (PhaseSpec, TrainState, ShardCtx, make_train_step)
+from ..train.trainer import (PhaseSpec, TrainState, ShardCtx, _scan_chunk)
 
 
 def make_mesh(data: int = 0, space: int = 1, devices=None) -> Mesh:
@@ -71,13 +71,14 @@ def make_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
     (see :func:`replicate`) and volume placed via :func:`shard_volume`.
     """
     sc = make_shard_ctx(mesh, use_space)
-    step = make_train_step(ph, masks, shard_ctx=sc)
 
     vol_spec = P('space') if sc.space_axis else P()
 
     def chunk_body(state: TrainState, volume: jax.Array):
-        return jax.lax.scan(lambda s, _: step(s, volume), state,
-                            None, length=steps_per_chunk)
+        # RNG hoisted per chunk (see trainer._make_step_parts); the per-device
+        # fold_in happens inside sample_chunk, so every device draws its own
+        # position stream from the replicated carry key.
+        return _scan_chunk(ph, masks, sc, steps_per_chunk, state, volume)
 
     sharded = jax.shard_map(
         chunk_body, mesh=mesh,
