@@ -50,8 +50,10 @@ class ModelSpec:
     level_shapes: Tuple[Tuple[int, int, int], ...] = ()
     # feature-fetch backend: 'xla' (gather path), 'pallas' (fused MXU
     # one-hot matmul kernel, ~f32 accurate 3-pass), 'pallas_bf16' (single
-    # MXU pass, mixed-precision), or 'auto' (resolved at spec build time:
-    # pallas on TPU when the decoded grid is small enough to be
+    # MXU pass, mixed-precision), 'fused' (ONE Pallas kernel for
+    # interpolation + fourier embedding + the whole MLP, activations never
+    # leave VMEM — ops/fused_forward.py), or 'auto' (resolved at spec build
+    # time: fused on TPU when the decoded grid is small enough to be
     # VMEM-resident, xla otherwise)
     interp_backend: str = 'xla'
     # 'float32' (default) or 'bfloat16': dtype of the interpolation + MLP
@@ -91,14 +93,14 @@ def resolve_interp_backend(backend: str, grid_size: int) -> str:
     the matmul formulation is infeasible.
     """
     if backend != 'auto':
-        if backend not in ('xla', 'pallas', 'pallas_bf16'):
+        if backend not in ('xla', 'pallas', 'pallas_bf16', 'fused'):
             raise ValueError(
                 f"interp_backend must be one of 'auto', 'xla', 'pallas', "
-                f"'pallas_bf16'; got {backend!r}")
+                f"'pallas_bf16', 'fused'; got {backend!r}")
         return backend
     import jax
     on_tpu = jax.default_backend() not in ('cpu', 'gpu')
-    return 'pallas' if (on_tpu and grid_size ** 3 <= 8192) else 'xla'
+    return 'fused' if (on_tpu and grid_size ** 3 <= 8192) else 'xla'
 
 
 def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
@@ -192,6 +194,14 @@ def decode_volume(spec: ModelSpec, params: ModelParams, *,
     return decode_pyramid(spec.filter(), list(coeffs), np.asarray(spec.level_shapes))
 
 
+def _fused_eligible(spec: ModelSpec) -> bool:
+    """The one-kernel forward needs the whole padded G_stack VMEM-resident
+    and every MLP dimension within one 128-lane tile; otherwise apply_model
+    falls back to the two-kernel pallas path (which blocks large grids)."""
+    return (spec.grid_size ** 2 <= 512 and spec.mlp_in <= 128
+            and spec.hidden <= 128 and spec.d_out <= 128)
+
+
 def apply_model(spec: ModelSpec, params: ModelParams, coords: jax.Array, *,
                 train: bool = True,
                 train_gates: bool = False,
@@ -205,7 +215,15 @@ def apply_model(spec: ModelSpec, params: ModelParams, coords: jax.Array, *,
     grid = decode_volume(spec, params, train_gates=train_gates, rng=rng,
                          masks=masks)
     bf16 = spec.compute_dtype == 'bfloat16'
-    if spec.interp_backend.startswith('pallas'):
+    if spec.interp_backend == 'fused' and _fused_eligible(spec):
+        from ..ops.fused_forward import fused_forward
+        out = fused_forward(grid, coords, list(params.mlp_w),
+                            list(params.mlp_b), spec.n_freqs,
+                            precision='bf16' if bf16 else 'f32')
+        if not train:
+            out = jnp.clip(out, -1.0, 1.0)
+        return out
+    if spec.interp_backend.startswith('pallas') or spec.interp_backend == 'fused':
         from ..ops.pallas_kernels import pallas_grid_sample_3d
         prec = ('bf16' if (spec.interp_backend == 'pallas_bf16' or bf16)
                 else 'f32')
