@@ -3,16 +3,35 @@
 
 Measures the fully-fused phase-1 train step (smallify-gated model, mhd_p
 shapes: 255^3 volume, batch 2048x16, grid 16x15^3 db2, 4x32 MLP) and prints
-one JSON line:  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+one JSON line:  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+"mfu": ..., "pct_roofline": ..., "bound": ...}
 
 vs_baseline is relative to the reference implementation's measured PyTorch
 step rate on its shipped config (see BASELINE_SAMPLES_PER_SEC below; the
 reference publishes no throughput numbers — this constant is the measured
 throughput of this framework's first working TPU build, r1, so later rounds
 report their speedup against it).
+
+Roofline accounting (VERDICT r3 #4): the extra keys report how far the step
+is from per-chip speed-of-light on a v5e —
+  mfu           algorithmic (useful) FLOPs / peak bf16 FLOPs
+  mxu_util      actually-issued MXU FLOPs (padded matmul formulation) / peak
+  hbm_frac      estimated HBM bytes / peak bandwidth
+  pct_roofline  max(mxu time, hbm time) / measured step time — how close the
+                step is to its binding RESOURCE limit
+  bound         which resource binds ('mxu' | 'hbm' | 'overhead' when the
+                step is dominated by per-op fixed costs, not resources)
+
+Regression gate (VERDICT r3 #2): `python bench.py --check` additionally
+compares against the best prior BENCH_r*.json in the repo root and exits 1
+on a >5% throughput regression.  Run it before any round-ending commit.
 """
 
+import glob
 import json
+import os
+import re
+import sys
 import time
 
 import numpy as np
@@ -20,8 +39,67 @@ import numpy as np
 # r1 first-working-build throughput on one TPU v5e chip (samples/s).
 BASELINE_SAMPLES_PER_SEC = 6.0e6
 
+# TPU v5e per-chip peaks (public spec: 197 TFLOP/s bf16, 819 GB/s HBM).
+PEAK_FLOPS = 197e12
+PEAK_HBM = 819e9
+
+
+def _flagship_counts(N=2048 * 16, C=16, G=15, Z=255,
+                     mlp_dims=(31, 32, 32, 32, 32, 1), n_params=113521):
+    """Analytic per-step FLOP / byte model of the flagship train step.
+
+    Returns (algo_flops, mxu_flops, hbm_bytes):
+      algo_flops  useful work: 8-corner trilinear interp, MLP fwd+bwd (2x
+                  fwd for bwd), multi-level inverse DWT fwd+bwd, Adam.
+      mxu_flops   FLOPs actually issued on the MXU by the pallas one-hot
+                  formulation (ops/pallas_kernels.py: 3-pass f32 splits,
+                  HWp x DCp padded tiles) + the padded MLP matmuls.
+      hbm_bytes   major HBM transfers: GT z-row gather (N x Z rows), the
+                  interp kernel's padded activations, MLP activations,
+                  Adam state r/w.
+    """
+    HWp = -(-G * G // 128) * 128          # 225 -> 256
+    DCp = -(-G * C // 128) * 128          # 240 -> 256
+
+    mlp_fwd = 2 * N * sum(a * b for a, b in zip(mlp_dims[:-1], mlp_dims[1:]))
+    interp_fwd = N * (8 * 2 * C + 30)
+    # decode: grouped conv_transpose, 8 subbands x 4^3 taps per output voxel
+    dwt_fwd = 2 * C * G ** 3 * 8 * 64
+    algo = 3 * (mlp_fwd + interp_fwd + dwt_fwd) + 10 * n_params
+
+    mxu = (3 * 2 * N * HWp * DCp          # fwd: W2 @ Gstack, 3-pass f32
+           + 2 * 2 * N * DCp * 128        # fwd: z-contraction, 2-pass
+           + 2 * 2 * N * 128 * DCp        # bwd: g @ S^T
+           + 3 * 2 * N * HWp * DCp        # bwd: W2^T @ (Hz*g_exp)
+           + 3 * 3 * 2 * N * 128 * 128 * (len(mlp_dims) - 1))  # padded MLP
+
+    hbm = (N * Z * 4                      # GT z-row gather
+           + 2 * N * 128 * 4 * 2          # interp out + cotangent, w+r
+           + (len(mlp_dims) - 1) * N * 32 * 4 * 5   # MLP activations
+           + N * 3 * 4 * 3                # positions + pix coords
+           + 3 * 2 * n_params * 4 * 2     # Adam: params + m + v, r+w
+           + 4 * C * G ** 3 * 4)          # decoded grid + grads, r+w
+    return algo, mxu, hbm
+
+
+def best_prior():
+    best, src = None, None
+    for path in sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'BENCH_r*.json'))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            val = float(rec['parsed']['value'])
+        except Exception:
+            continue
+        if best is None or val > best:
+            best, src = val, os.path.basename(path)
+    return best, src
+
 
 def main():
+    check = '--check' in sys.argv
     from latent_feature_grid_compression_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
@@ -80,14 +158,39 @@ def main():
 
     steps = n_chunks * steps_per_chunk
     samples_per_sec = steps * ph.batch_n / dt
+    step_time = dt / steps
     assert np.isfinite(float(m['loss'][-1]))
 
-    print(json.dumps({
+    algo, mxu, hbm = _flagship_counts(N=ph.batch_n, C=cfg.grid_features,
+                                      G=cfg.grid_size, Z=vol.shape[2])
+    mxu_time = mxu / PEAK_FLOPS
+    hbm_time = hbm / PEAK_HBM
+    pct_roofline = max(mxu_time, hbm_time) / step_time
+    bound = ('mxu' if mxu_time > hbm_time else 'hbm') \
+        if pct_roofline > 0.5 else 'overhead'
+
+    out = {
         'metric': 'volume samples/sec/chip (mhd_p smallify train step)',
         'value': round(samples_per_sec, 1),
         'unit': 'samples/s',
         'vs_baseline': round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
-    }))
+        'mfu': round(algo / step_time / PEAK_FLOPS, 5),
+        'mxu_util': round(mxu_time / step_time, 4),
+        'hbm_frac': round(hbm_time / step_time, 4),
+        'pct_roofline': round(pct_roofline, 4),
+        'bound': bound,
+    }
+    print(json.dumps(out))
+
+    if check:
+        best, src = best_prior()
+        if best is not None and samples_per_sec < 0.95 * best:
+            print(f'REGRESSION: {samples_per_sec:.0f} samples/s is '
+                  f'{samples_per_sec / best:.1%} of the best prior '
+                  f'({best:.0f} in {src}); gate is 95%', file=sys.stderr)
+            sys.exit(1)
+        print(f'gate ok: best prior {best and round(best)} ({src})',
+              file=sys.stderr)
 
 
 if __name__ == '__main__':

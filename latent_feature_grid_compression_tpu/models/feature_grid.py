@@ -86,6 +86,13 @@ class ModelParams:
 def resolve_interp_backend(backend: str, grid_size: int) -> str:
     """Resolve 'auto' to the fastest correct backend for this platform.
 
+    'auto' picks winners by MEASUREMENT (examples/bench_step_backends.py on
+    one v5e chip, flagship train step, grid 16x15^3 / batch 32768):
+
+        pallas 2.11 ms/step (15.6 Ms/s)   <- auto on TPU, small grids
+        fused  3.67 ms/step ( 8.9 Ms/s)   <- opt-in only until it wins
+        xla    4.03 ms/step ( 8.1 Ms/s)   <- auto everywhere else
+
     The Pallas one-hot-matmul kernel materializes a (block_n, M) weight tile
     in VMEM, so it only wins while M = grid_size^3 keeps the tile a few MB;
     beyond that the XLA gather path is faster (its cost is O(N), not O(N*M)).
@@ -100,7 +107,7 @@ def resolve_interp_backend(backend: str, grid_size: int) -> str:
         return backend
     import jax
     on_tpu = jax.default_backend() not in ('cpu', 'gpu')
-    return 'fused' if (on_tpu and grid_size ** 3 <= 8192) else 'xla'
+    return 'pallas' if (on_tpu and grid_size ** 3 <= 8192) else 'xla'
 
 
 def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
@@ -109,7 +116,8 @@ def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
               pruning_threshold_list=None, interp_backend='xla',
               compute_dtype='float32') -> ModelSpec:
     """Build a ModelSpec, precomputing the wavelet pyramid level shapes."""
-    interp_backend = resolve_interp_backend(interp_backend, grid_size)
+    requested = interp_backend
+    resolved = resolve_interp_backend(interp_backend, grid_size)
     if compute_dtype in ('bf16', 'bfloat16'):
         compute_dtype = 'bfloat16'
     elif compute_dtype in ('f32', 'float32'):
@@ -136,13 +144,23 @@ def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
                            for i in range(n_tensors))
     else:
         thresholds = (drop_threshold,) * n_tensors
-    return ModelSpec(d_in=d_in, hidden=hidden, d_out=d_out,
+    spec = ModelSpec(d_in=d_in, hidden=hidden, d_out=d_out,
                      num_layers=num_layers, n_freqs=n_freqs,
                      grid_features=grid_features, grid_size=grid_size,
                      wavelet=wavelet, drop_type=drop_type,
                      drop_momentum=drop_momentum, thresholds=thresholds,
-                     level_shapes=level_shapes, interp_backend=interp_backend,
+                     level_shapes=level_shapes, interp_backend=resolved,
                      compute_dtype=compute_dtype)
+    if requested == 'fused' and not _fused_eligible(spec):
+        # an explicitly requested backend must never be silently swapped
+        # (ADVICE r3); only 'auto' may fall back
+        raise ValueError(
+            f"interp_backend='fused' requires grid_size^2 <= 512 and all MLP "
+            f"dims <= 128 (got grid_size={grid_size}, mlp_in={spec.mlp_in}, "
+            f"hidden={hidden}, d_out={d_out}); use 'auto' or 'pallas'")
+    if requested == 'auto' and resolved == 'fused' and not _fused_eligible(spec):
+        spec = dataclasses.replace(spec, interp_backend='pallas')
+    return spec
 
 
 def init_model(key: jax.Array, spec: ModelSpec):
