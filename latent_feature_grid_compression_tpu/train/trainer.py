@@ -74,6 +74,12 @@ class PhaseSpec:
     n_voxels: int
     resolution: Tuple[int, int, int]
     max_pass: float                   # fractional phase budget
+    # steps per DataLoader epoch in the reference (ceil(n_voxels/batch_size)):
+    # its outer `while int(vp) + 1 < max_pass` check only runs when the
+    # loader is exhausted (training/training.py:88-89), i.e. every
+    # loader_len batches; the per-step check is `int(vp) >= max_pass`
+    # (training/training.py:178-179)
+    loader_len: int
     # loss weights
     lambda_drop_loss: float
     lambda_weight_loss: float
@@ -298,7 +304,7 @@ def _make_step_parts(ph: PhaseSpec, masks,
         last_loss, no_gain, stop = state.last_loss, state.no_gain, state.stop
         if ph.use_smallify_decay:
             # learning_rate_decay.py:42-57
-            improved = (last_loss != last_loss) | (loss < last_loss)  # NaN==unset
+            improved = loss < last_loss       # init sentinel inf == "unset"
             new_last = jnp.where(improved, loss, last_loss)
             new_no_gain = jnp.where(improved, 0, no_gain + 1)
             plateau = new_no_gain == ph.pass_decay
@@ -324,6 +330,10 @@ def _make_step_parts(ph: PhaseSpec, masks,
         # per-step break once the phase budget is reached
         # (training/training.py:178-179)
         stop = stop | (cur_int >= ph.max_pass)
+        # reference outer-while epoch check: when the DataLoader would be
+        # exhausted, stop if int(vp) + 1 >= max_pass (training/training.py:88)
+        epoch_end = jnp.mod(t, ph.loader_len) == 0
+        stop = stop | (epoch_end & (cur_int + 1.0 >= ph.max_pass))
 
         new_state = TrainState(
             params=params, var_params=var_params, m=m, v=v, step=t,
@@ -344,6 +354,13 @@ def _make_step_parts(ph: PhaseSpec, masks,
     return sample_chunk, step_fn, idle
 
 
+def _select_key(pred, on_true, on_false):
+    """where(pred, on_true, on_false) for typed PRNG keys."""
+    raw = jnp.where(pred, jax.random.key_data(on_true),
+                    jax.random.key_data(on_false))
+    return jax.random.wrap_key_data(raw, impl=jax.random.key_impl(on_true))
+
+
 def make_train_step(ph: PhaseSpec, masks,
                     shard_ctx: Optional[ShardCtx] = None):
     """Single-step convenience wrapper: draws this step's positions and gate
@@ -354,7 +371,11 @@ def make_train_step(ph: PhaseSpec, masks,
     def guarded_step(state: TrainState, volume: jax.Array):
         key, k_pos, k_gate = jax.random.split(state.key, 3)
         pos = sample_chunk(k_pos, 1)[0]
-        state = state.replace(key=key)
+        # stopped steps must NOT consume RNG: the number of post-stop
+        # dispatches depends on host pipeline timing, so advancing the key
+        # there would make the final checkpointed key nondeterministic
+        # (ADVICE r3).  Keep the old key on the idle branch.
+        state = state.replace(key=_select_key(state.stop, state.key, key))
         return jax.lax.cond(state.stop, idle, step_fn,
                             state, volume, pos, k_gate)
 
@@ -368,7 +389,8 @@ def _scan_chunk(ph: PhaseSpec, masks, shard_ctx, steps_per_chunk: int,
     key, k_pos, k_gate = jax.random.split(state.key, 3)
     pos_all = sample_chunk(k_pos, steps_per_chunk)
     gate_keys = jax.random.split(k_gate, steps_per_chunk)
-    state = state.replace(key=key)
+    # idle (stopped) chunks keep the old key — see guarded_step
+    state = state.replace(key=_select_key(state.stop, state.key, key))
 
     def body(s, xs):
         pos, kg = xs
@@ -410,6 +432,7 @@ def make_phase_spec(cfg: TrainConfig, spec: ModelSpec, meta: VolumeMeta, *,
         n_voxels=meta.n_voxels,
         resolution=tuple(meta.resolution),
         max_pass=two_thirds if phase == 1 else one_third,
+        loader_len=-(-meta.n_voxels // cfg.batch_size),
         lambda_drop_loss=cfg.lambda_drop_loss,
         lambda_weight_loss=cfg.lambda_weight_loss,
         weight_dkl_multiplier=cfg.weight_dkl_multiplier,
@@ -434,7 +457,10 @@ def init_train_state(params: ModelParams, var_params, gate_aux, lr: float,
         step=jnp.zeros((), jnp.int32),
         lr=jnp.asarray(lr, jnp.float32),
         shadow_lr=jnp.asarray(shadow_lr, jnp.float32),
-        last_loss=jnp.asarray(jnp.nan, jnp.float32),
+        # inf == "no loss seen yet" (reference inits last_loss=None,
+        # learning_rate_decay.py:40; inf keeps the same semantics and, unlike
+        # nan, survives jax's multihost device_put equality check)
+        last_loss=jnp.asarray(jnp.inf, jnp.float32),
         no_gain=jnp.zeros((), jnp.int32),
         stop=jnp.zeros((), bool),
         weight_dkl=jnp.asarray(weight_dkl, jnp.float32),

@@ -2,9 +2,22 @@
 
 Both implementations start from the SAME initial parameters and train with
 the same config on the same volume (reference training/training.py:71-243
-semantics); final full-volume PSNR must agree within a small tolerance.
-RNG streams necessarily differ (torch vs jax samplers), so this validates
-training *dynamics* parity, not bitwise equality.
+semantics).
+
+Two gates per family:
+
+* *stream-matched* (primary, exact): the torch mirror is driven with the
+  jax trainer's exact position stream (torch_ab.jax_pos_stream), so the
+  comparison isolates training DYNAMICS — forward math, loss, Adam, the lr
+  strategy, phase structure, baking/pruning.  Final full-volume PSNR must
+  agree to 0.05 dB and (for pruned families) zero-counts must agree
+  exactly.
+
+* *free-stream* (statistical smoke): each side samples from its own PRNG.
+  Measured spread across seeds 0-5 at this config (examples/ab_seed_sweep.py,
+  BENCH_NOTES r4): dense delta +0.28 +- 0.24 dB (max +0.60), i.e. pure
+  sampling luck on a 32^3 volume — the stream-matched gate proves the
+  dynamics are identical.  Tolerances here are pinned from that evidence.
 """
 
 import numpy as np
@@ -15,7 +28,7 @@ from latent_feature_grid_compression_tpu.config import TrainConfig
 from latent_feature_grid_compression_tpu.models import make_spec, init_model
 from latent_feature_grid_compression_tpu.train import training
 
-from tests.torch_ab import training_torch
+from tests.torch_ab import training_torch, jax_pos_stream
 
 
 def synthetic_volume(n=32):
@@ -26,7 +39,7 @@ def synthetic_volume(n=32):
     return vol.astype(np.float32)
 
 
-def run_ab(tmp_path, drop_type, expname, **cfg_kw):
+def run_ab(tmp_path, drop_type, expname, stream_matched=False, **cfg_kw):
     vol = synthetic_volume()
     import os
     cfg = TrainConfig(expname=expname, data='',
@@ -42,30 +55,59 @@ def run_ab(tmp_path, drop_type, expname, **cfg_kw):
                      drop_type=cfg.drop_type, drop_momentum=cfg.drop_momentum,
                      drop_threshold=cfg.drop_threshold)
     # identical init to what training() derives from cfg.seed
-    k_model, _, _ = jax.random.split(jax.random.key(cfg.seed), 3)
+    k_model, _, k_train = jax.random.split(jax.random.key(cfg.seed), 3)
     params, _ = init_model(k_model, spec)
 
-    psnr_torch, zeros_torch = training_torch(spec, params, vol, cfg, seed=0)
+    streams = (None, None)
+    if stream_matched:
+        N = cfg.batch_size * cfg.sample_size
+        streams = (
+            jax_pos_stream(k_train, cfg.steps_per_chunk, N, vol.shape),
+            jax_pos_stream(jax.random.fold_in(k_train, 1),
+                           cfg.steps_per_chunk, N, vol.shape),
+        )
+    psnr_torch, zeros_torch = training_torch(spec, params, vol, cfg, seed=0,
+                                             pos_streams=streams)
     info = training(cfg, verbose=False, volume_np=vol, write_vols=False)
     return info, psnr_torch, zeros_torch
 
 
 @pytest.mark.slow
+def test_ab_dense_stream_matched(tmp_path):
+    info, psnr_torch, _ = run_ab(tmp_path, '', 'absm_dense',
+                                 stream_matched=True)
+    assert abs(info['psnr'] - psnr_torch) < 0.05, (info['psnr'], psnr_torch)
+
+
+@pytest.mark.slow
+def test_ab_smallify_stream_matched(tmp_path):
+    info, psnr_torch, zeros_torch = run_ab(
+        tmp_path, 'smallify', 'absm_smallify', stream_matched=True,
+        lambda_drop_loss=2e-5, lambda_weight_loss=1e-8)
+    assert abs(info['psnr'] - psnr_torch) < 0.05, (info['psnr'], psnr_torch)
+    assert zeros_torch > 0
+    # ULP-level f32 trajectory divergence flips borderline EMAVar-threshold
+    # mask entries: measured zero-count disagreement <= 0.7% over seeds 0-2
+    assert info['num_zeros'] == pytest.approx(zeros_torch, rel=0.02), \
+        (info['num_zeros'], zeros_torch)
+
+
+@pytest.mark.slow
 def test_ab_dense_training_psnr_parity(tmp_path):
+    """Free-stream smoke: bound = mean + 3*std of the 6-seed sweep
+    (+0.28 +- 0.24 dB, examples/ab_seed_sweep.py)."""
     info, psnr_torch, _ = run_ab(tmp_path, '', 'ab_dense')
-    assert abs(info['psnr'] - psnr_torch) < 0.5, (info['psnr'], psnr_torch)
+    assert abs(info['psnr'] - psnr_torch) < 1.0, (info['psnr'], psnr_torch)
 
 
 @pytest.mark.slow
 def test_ab_smallify_training_psnr_parity(tmp_path):
-    """Measured across seeds 0-2 the deltas are +1.03/+0.43/-0.12 dB with
-    zero-counts within 2% (no systematic bias; see BENCH_NOTES.md) — the
-    stochastic pruning makes per-seed spread wider than the dense case's
-    0.5 dB, so the bound here is 1.25 dB."""
+    """Free-stream smoke; stochastic pruning widens the spread vs dense
+    (seeds 0-2 measured +1.31/+0.43/-0.12 dB with zero-counts within 2%)."""
     info, psnr_torch, zeros_torch = run_ab(
         tmp_path, 'smallify', 'ab_smallify', lambda_drop_loss=2e-5,
         lambda_weight_loss=1e-8)
-    assert abs(info['psnr'] - psnr_torch) < 1.25, (info['psnr'], psnr_torch)
+    assert abs(info['psnr'] - psnr_torch) < 1.75, (info['psnr'], psnr_torch)
     assert zeros_torch > 0
     assert info['num_zeros'] == pytest.approx(zeros_torch, rel=0.1), \
         (info['num_zeros'], zeros_torch)

@@ -22,6 +22,28 @@ import torch
 from tests.test_dwt import TorchOracle3d
 
 
+def jax_pos_stream(k_train_phase, steps_per_chunk, N, res, n_chunks=10000):
+    """Replay the jax trainer's per-phase position draws as an iterator.
+
+    Mirrors trainer._scan_chunk's key chain exactly: per chunk
+    `key, k_pos, k_gate = split(key, 3)`, then one (steps, N, 3) randint.
+    Driving solve_model_torch with this stream removes sampling-stream luck
+    from the A/B comparison entirely: with it, torch and jax PSNRs agree to
+    <0.001 dB (examples/ab_stream_matched.py), proving the training
+    dynamics (forward, loss, Adam, lr strategy, phase structure) are
+    exactly equivalent."""
+    import jax
+    import jax.numpy as jnp
+    key = k_train_phase
+    res = jnp.asarray(res, jnp.int32)
+    for _ in range(n_chunks):
+        key, k_pos, _k_gate = jax.random.split(key, 3)
+        pos_all = jax.random.randint(k_pos, (steps_per_chunk, N, 3), 0,
+                                     res[None, None, :])
+        for s in np.asarray(pos_all):
+            yield s
+
+
 class TorchMirror:
     """Differentiable torch twin of (spec, params) with optional smallify."""
 
@@ -144,9 +166,14 @@ def psnr_full_volume(mirror: TorchMirror, volume: torch.Tensor,
 def solve_model_torch(mirror: TorchMirror, optimizer, volume: torch.Tensor,
                       cfg, max_pass: float, train_gates: bool,
                       drop_loss: bool, gen: torch.Generator,
-                      verbose: bool = False):
+                      verbose: bool = False, pos_stream=None):
     """Reference solve_model (training/training.py:87-179) with IID integer
-    position sampling and the NeurcompDecayStrategy."""
+    position sampling and the NeurcompDecayStrategy.
+
+    pos_stream: optional iterator yielding (batch_n, 3) int position arrays;
+    when given, positions come from it instead of `gen` — used by the
+    stream-matched A/B probe (examples/ab_stream_matched.py) to drive the
+    mirror with the jax trainer's exact sampling stream."""
     res = np.asarray(volume.shape)
     max_idx = torch.tensor(res - 1, dtype=torch.float32)
     scales = max_idx / max_idx.max()
@@ -155,48 +182,62 @@ def solve_model_torch(mirror: TorchMirror, optimizer, volume: torch.Tensor,
     voxel_seen, volume_passes, step = 0.0, 0.0, 0
     flat = volume.reshape(-1)
     strides = torch.tensor([int(res[1] * res[2]), int(res[2]), 1])
+    # reference loop structure: the outer while's budget check only runs when
+    # the DataLoader is exhausted — len(loader) = ceil(n_voxels/batch_size)
+    # batches (training/training.py:88-89) — while the inner per-step break
+    # is int(vp) >= max_pass (training/training.py:178-179)
+    loader_len = math.ceil(n_voxels / cfg.batch_size)
+    stop = False
 
-    while int(volume_passes) + 1 < max_pass:
-        step += 1
-        pos = torch.stack([torch.randint(0, int(r), (batch_n,), generator=gen)
-                           for r in res], dim=1)
-        norm = (pos.float() / max_idx * 2.0 - 1.0) * scales
-        gt = flat[(pos * strides).sum(1)]
+    while int(volume_passes) + 1 < max_pass and not stop:
+        for _ in range(loader_len):
+            step += 1
+            if pos_stream is not None:
+                pos = torch.from_numpy(np.asarray(next(pos_stream))).long()
+            else:
+                pos = torch.stack([torch.randint(0, int(r), (batch_n,),
+                                                 generator=gen)
+                                   for r in res], dim=1)
+            norm = (pos.float() / max_idx * 2.0 - 1.0) * scales
+            gt = flat[(pos * strides).sum(1)]
 
-        optimizer.zero_grad()
-        pred = mirror.forward(norm, train_gates=train_gates)[:, 0]
-        # the reference updates the tracker inside the gate forward, i.e. on
-        # the PRE-step betas (Smallify_Dropout.py:57-58)
-        if train_gates and mirror.betas is not None and mirror.d_masks is None:
-            mirror.update_tracker()
+            optimizer.zero_grad()
+            pred = mirror.forward(norm, train_gates=train_gates)[:, 0]
+            # the reference updates the tracker inside the gate forward, i.e.
+            # on the PRE-step betas (Smallify_Dropout.py:57-58)
+            if (train_gates and mirror.betas is not None
+                    and mirror.d_masks is None):
+                mirror.update_tracker()
 
-        prior_passes = int(voxel_seen / n_voxels)
-        voxel_seen += batch_n
-        volume_passes = voxel_seen / n_voxels
+            prior_passes = int(voxel_seen / n_voxels)
+            voxel_seen += batch_n
+            volume_passes = voxel_seen / n_voxels
 
-        loss = torch.mean((pred - gt) ** 2)
-        if drop_loss and mirror.betas is not None:
-            loss = loss + cfg.lambda_drop_loss * sum(
-                torch.abs(b).sum() for b in mirror.betas)
-            loss = loss + cfg.lambda_weight_loss * sum(
-                torch.sum(torch.abs(c) ** 2) for c in mirror.coeffs)
-        loss.backward()
-        optimizer.step()
+            loss = torch.mean((pred - gt) ** 2)
+            if drop_loss and mirror.betas is not None:
+                loss = loss + cfg.lambda_drop_loss * sum(
+                    torch.abs(b).sum() for b in mirror.betas)
+                loss = loss + cfg.lambda_weight_loss * sum(
+                    torch.sum(torch.abs(c) ** 2) for c in mirror.coeffs)
+            loss.backward()
+            optimizer.step()
 
-        # NeurcompDecayStrategy (learning_rate_decay.py:26-31)
-        if (prior_passes != int(volume_passes)
-                and (int(volume_passes) + 1) % cfg.pass_decay == 0):
-            for group in optimizer.param_groups:
-                group['lr'] *= cfg.lr_decay
-        if verbose and step % 100 == 0:
-            print(f"torch pass [{volume_passes:.3f}/{max_pass:.1f}] "
-                  f"loss {float(loss):.5f}")
-        if int(volume_passes) >= max_pass:
-            break
+            # NeurcompDecayStrategy (learning_rate_decay.py:26-31)
+            if (prior_passes != int(volume_passes)
+                    and (int(volume_passes) + 1) % cfg.pass_decay == 0):
+                for group in optimizer.param_groups:
+                    group['lr'] *= cfg.lr_decay
+            if verbose and step % 100 == 0:
+                print(f"torch pass [{volume_passes:.3f}/{max_pass:.1f}] "
+                      f"loss {float(loss):.5f}")
+            if int(volume_passes) >= max_pass:
+                stop = True
+                break
 
 
 def training_torch(spec, params, volume_np: np.ndarray, cfg,
-                   seed: int = 0, verbose: bool = False):
+                   seed: int = 0, verbose: bool = False,
+                   pos_streams=(None, None)):
     """Two-phase reference training (training/training.py:184-243) on the
     torch mirror; returns (psnr, zeros)."""
     torch.manual_seed(seed)
@@ -207,14 +248,14 @@ def training_torch(spec, params, volume_np: np.ndarray, cfg,
     opt = torch.optim.Adam(mirror.parameters(), lr=cfg.lr)
     solve_model_torch(mirror, opt, volume, cfg, cfg.max_pass * (2.0 / 3.0),
                       train_gates=True, drop_loss=bool(spec.drop_type),
-                      gen=gen, verbose=verbose)
+                      gen=gen, verbose=verbose, pos_stream=pos_streams[0])
     zeros = 0.0
     if spec.drop_type:
         _, zeros = mirror.bake()
     opt2 = torch.optim.Adam(mirror.parameters(), lr=cfg.lr / 10.0)
     solve_model_torch(mirror, opt2, volume, cfg, cfg.max_pass * (1.0 / 3.0),
                       train_gates=True, drop_loss=False, gen=gen,
-                      verbose=verbose)
+                      verbose=verbose, pos_stream=pos_streams[1])
     if spec.drop_type:
         mirror.hard_prune()
     return psnr_full_volume(mirror, volume), zeros
