@@ -168,6 +168,97 @@ _COIFLET_TABLE = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Biorthogonal (CDF) families — reference contemplates bior4.4 in its QC
+# runner (visualization/trigger_experiments.py:34); the wavelet machinery
+# accepts any even-length pywt wavelet (Torch_Wavelet_Transform.py:33,41).
+# ---------------------------------------------------------------------------
+
+def _y_laurent(poly_y: np.ndarray) -> np.ndarray:
+    """Expand a polynomial in y = sin^2(w/2) = (2 - z - 1/z)/4 into a
+    centered, symmetric Laurent-coefficient array (length 2*deg + 1).
+
+    poly_y: coefficients [c0, c1, ..., c_deg] (ascending powers of y).
+    """
+    deg = len(poly_y) - 1
+    out = np.zeros(2 * deg + 1)
+    cur = np.array([1.0])                   # y^0
+    base = np.array([-1.0, 2.0, -1.0]) / 4.0
+    for k, c in enumerate(poly_y):
+        off = deg - k
+        out[off:off + len(cur)] += c * cur
+        cur = np.convolve(cur, base)
+    return out
+
+
+def _cdf_lowpass_pair(Nr: int, Nd: int):
+    """CDF biorthogonal lowpass pair (rec_lo, dec_lo), sum == sqrt(2) each.
+
+    Spline construction (Cohen-Daubechies-Feauveau): the synthesis lowpass is
+    the order-Nr binomial (B-spline) filter; the analysis lowpass carries the
+    full Bezout polynomial P(y) = sum_k C(q-1+k, k) y^k, q = (Nr+Nd)/2.
+    Exception: bior4.4 is the famous CDF 9/7 (JPEG2000) factorization, where
+    P's real root goes to the synthesis side and the complex pair to the
+    analysis side.  Only even Nr/Nd are supported (odd orders carry a
+    half-sample shift the grouped-conv DWT does not model; the reference
+    asserts even filter length anyway, Torch_Wavelet_Transform.py:33).
+    """
+    if Nr % 2 or Nd % 2:
+        raise ValueError("only even-order biorthogonal wavelets supported "
+                         "(even filter length, Torch_Wavelet_Transform.py:33)")
+    q = (Nr + Nd) // 2
+    P = np.array([math.comb(q - 1 + k, k) for k in range(q)], dtype=np.float64)
+    binom_r = np.array([math.comb(Nr, k) for k in range(Nr + 1)]) / 2.0 ** Nr
+    binom_d = np.array([math.comb(Nd, k) for k in range(Nd + 1)]) / 2.0 ** Nd
+    if (Nr, Nd) == (4, 4):
+        # CDF 9/7: split P's roots.  np.roots wants descending coefficients.
+        roots = np.roots(P[::-1])
+        real = [r for r in roots if abs(r.imag) < 1e-9]
+        cplx = [r for r in roots if r.imag > 1e-9]
+        assert len(real) == 1 and len(cplx) == 1
+        r0, z0 = real[0].real, cplx[0]
+        s_poly = np.array([1.0, -1.0 / r0])               # (1 - y/r0), s(0)=1
+        # (1 - y/z)(1 - y/zbar), real coefficients, a(0)=1
+        a_poly = np.array([1.0, -2.0 * (z0 / abs(z0) ** 2).real,
+                           1.0 / abs(z0) ** 2])
+        rec = np.convolve(binom_r, _y_laurent(s_poly))
+        dec = np.convolve(binom_d, _y_laurent(a_poly))
+    else:
+        rec = binom_r
+        dec = np.convolve(binom_d, _y_laurent(P))
+    return rec * math.sqrt(2.0), dec * math.sqrt(2.0)
+
+
+def _biorthogonal_bank(rec_lo: np.ndarray, dec_lo: np.ndarray) -> FilterBank:
+    """Assemble the 4-filter pywt-convention bank from a lowpass pair.
+
+    Zero-padding and alternating-sign conventions are pinned by the
+    perfect-reconstruction tests in tests/test_wavelets.py /
+    tests/test_dwt.py: both filters are left-padded to a common even length
+    (shorter filter gets its extra zeros on the right), and the highpass
+    filters use opposite alternation parities for alias cancellation.
+    """
+    L = max(len(rec_lo), len(dec_lo))
+    L += L % 2
+    # Placements and signs found by exhaustive search over center positions
+    # and alternation signs against the grouped-conv DWT machinery (1-D PR to
+    # 1e-7 on odd and even lengths): rec_lo's symmetry center sits at index
+    # L/2 - 1, dec_lo's at L/2 (centers sum to the machinery's L-1 total
+    # delay), and the two highpass filters use OPPOSITE alternation parities
+    # (alias cancellation).  rec_lo/dec_lo/rec_hi match the pywt storage
+    # convention; the dec_hi global sign is pinned by perfect reconstruction
+    # through this conv scheme (detail-coefficient sign is a free convention).
+    rec_p = np.zeros(L)
+    dec_p = np.zeros(L)
+    rc, dc = (len(rec_lo) - 1) // 2, (len(dec_lo) - 1) // 2
+    rec_p[L // 2 - 1 - rc:L // 2 - 1 - rc + len(rec_lo)] = rec_lo
+    dec_p[L // 2 - dc:L // 2 - dc + len(dec_lo)] = dec_lo
+    k = np.arange(L)
+    dec_hi = ((-1.0) ** k) * rec_p
+    rec_hi = ((-1.0) ** (k + 1)) * dec_p
+    return FilterBank(dec_p, dec_hi, rec_p, rec_hi)
+
+
 @functools.lru_cache(maxsize=None)
 def get_filter_bank(name: str) -> FilterBank:
     """Look up a wavelet filter bank by pywt-style name (e.g. 'db2', 'haar')."""
@@ -186,6 +277,13 @@ def get_filter_bank(name: str) -> FilterBank:
         if p not in _COIFLET_TABLE:
             raise ValueError(f"coiflet order {p} not supported")
         return _orthogonal_bank_from_scaling(np.asarray(_COIFLET_TABLE[p]))
+    m = re.fullmatch(r'(bior|rbio)(\d+)\.(\d+)', name)
+    if m:
+        fam, nr, nd = m.group(1), int(m.group(2)), int(m.group(3))
+        rec_lo, dec_lo = _cdf_lowpass_pair(nr, nd)
+        if fam == 'rbio':  # reverse biorthogonal: swap analysis/synthesis
+            rec_lo, dec_lo = dec_lo, rec_lo
+        return _biorthogonal_bank(rec_lo, dec_lo)
     raise ValueError(f"unknown wavelet '{name}'")
 
 

@@ -186,3 +186,12 @@ def test_weight_dkl_pressure_reaches_gate_gradients():
         assert np.isfinite(float(metrics['DKL_loss']))
     assert not np.allclose(deltas[0], deltas[1]), \
         "DKL weight had no effect on gate updates"
+
+
+def test_bior44_training_learns(tmp_path):
+    """--wavelet_filter bior4.4 trains end-to-end (the reference's QC runner
+    contemplates bior4.4, visualization/trigger_experiments.py:34)."""
+    vol = synthetic_volume()
+    cfg = base_cfg(tmp_path, expname='e2e_bior', wavelet_filter='bior4.4')
+    info = training(cfg, verbose=False, volume_np=vol, write_vols=False)
+    assert info['psnr'] > 20.0, info

@@ -76,6 +76,80 @@ def test_perfect_reconstruction_1d(name):
     np.testing.assert_allclose(core, x, atol=1e-8)
 
 
+# CDF biorthogonal lowpass pairs (published values; bior2.2 = CDF 5/3 spline,
+# bior4.4 = CDF 9/7 / JPEG2000, x sqrt(2) in the pywt normalization).
+BIOR22_DEC_LO = [0.0, -0.17677669529663687, 0.3535533905932738,
+                 1.0606601717798214, 0.3535533905932738,
+                 -0.17677669529663687]
+BIOR22_REC_LO = [0.0, 0.3535533905932738, 0.7071067811865476,
+                 0.3535533905932738, 0.0, 0.0]
+BIOR44_DEC_LO = [0.0, 0.03782845550726404, -0.023849465019556843,
+                 -0.11062440441843718, 0.37740285561283066,
+                 0.8526986790088938, 0.37740285561283066,
+                 -0.11062440441843718, -0.023849465019556843,
+                 0.03782845550726404]
+BIOR44_REC_LO = [0.0, -0.06453888262869706, -0.04068941760916406,
+                 0.41809227322161724, 0.7884856164055829,
+                 0.41809227322161724, -0.04068941760916406,
+                 -0.06453888262869706, 0.0, 0.0]
+
+
+def test_bior22_matches_cdf53_literature():
+    fb = get_filter_bank('bior2.2')
+    np.testing.assert_allclose(fb.dec_lo, BIOR22_DEC_LO, atol=1e-10)
+    np.testing.assert_allclose(fb.rec_lo, BIOR22_REC_LO, atol=1e-10)
+
+
+def test_bior44_matches_cdf97_literature():
+    fb = get_filter_bank('bior4.4')
+    np.testing.assert_allclose(fb.dec_lo, BIOR44_DEC_LO, atol=1e-9)
+    np.testing.assert_allclose(fb.rec_lo, BIOR44_REC_LO, atol=1e-9)
+
+
+def test_rbio_swaps_analysis_synthesis():
+    b = get_filter_bank('bior2.2')
+    r = get_filter_bank('rbio2.2')
+    # lowpass roles swap (up to the storage alignment, which re-centers)
+    assert sorted(np.round(np.abs(r.rec_lo[np.abs(r.rec_lo) > 1e-12]), 9)) \
+        == sorted(np.round(np.abs(b.dec_lo[np.abs(b.dec_lo) > 1e-12]), 9))
+
+
+@pytest.mark.parametrize('name', ['bior2.2', 'bior2.4', 'bior2.6', 'bior4.4',
+                                  'rbio2.2', 'rbio4.4', 'db2', 'sym4'])
+def test_two_channel_pr_identity(name):
+    """Two-channel filter-bank PR in coefficient space (pins alignment and
+    alternation-sign conventions):
+
+      H~(z)H(z) + G~(z)G(z) = 2 z^-(L-1)     (distortion-free)
+      H~(-z)H(z) + G~(-z)G(z) = 0            (alias cancellation)
+    """
+    fb = get_filter_bank(name)
+    L = fb.filter_length
+    k = np.arange(L)
+    total = (np.convolve(fb.dec_lo, fb.rec_lo)
+             + np.convolve(fb.dec_hi, fb.rec_hi))
+    alias = (np.convolve(fb.dec_lo * (-1.0) ** k, fb.rec_lo)
+             + np.convolve(fb.dec_hi * (-1.0) ** k, fb.rec_hi))
+    expect = np.zeros_like(total)
+    expect[L - 1] = 2.0
+    np.testing.assert_allclose(total, expect, atol=1e-9)
+    np.testing.assert_allclose(alias, 0.0, atol=1e-9)
+
+
+@pytest.mark.parametrize('name', ['bior2.2', 'bior4.4', 'rbio2.2'])
+def test_biorthogonal_bank_sums(name):
+    fb = get_filter_bank(name)
+    assert abs(fb.dec_lo.sum() - np.sqrt(2)) < 1e-9
+    assert abs(fb.rec_lo.sum() - np.sqrt(2)) < 1e-9
+    assert abs(fb.dec_hi.sum()) < 1e-9
+    assert abs(fb.rec_hi.sum()) < 1e-9
+
+
+def test_odd_order_bior_raises():
+    with pytest.raises(ValueError):
+        get_filter_bank('bior1.3')
+
+
 def test_dwt_max_level():
     # pywt.dwt_max_level reference values
     assert dwt_max_level(15, 4) == 2
