@@ -43,14 +43,36 @@ def make_mesh(data: int = 0, space: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ('data', 'space'))
 
 
+def _put_global(value, sharding: NamedSharding):
+    """device_put that also works on a multi-process mesh.
+
+    jax.device_put rejects shardings that span non-addressable devices; in
+    multi-process mode every process passes the same host value and each
+    builds its addressable shards via make_array_from_callback.  Typed PRNG
+    keys are rebuilt through key_data/wrap_key_data (extended dtypes are not
+    supported by the callback path).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    if jnp.issubdtype(getattr(value, 'dtype', None), jax.dtypes.prng_key):
+        raw = _put_global(jax.random.key_data(value), sharding)
+        return jax.random.wrap_key_data(raw, impl=jax.random.key_impl(value))
+    host = np.asarray(value)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
+
+
 def shard_volume(mesh: Mesh, volume: jax.Array, use_space: bool = True):
     """Place the GT volume: x-slabs over 'space', replicated over 'data'."""
     pspec = P('space') if use_space and mesh.shape['space'] > 1 else P()
-    return jax.device_put(volume, NamedSharding(mesh, pspec))
+    return _put_global(volume, NamedSharding(mesh, pspec))
 
 
 def replicate(mesh: Mesh, tree):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(lambda a: _put_global(a, sharding), tree)
 
 
 def make_shard_ctx(mesh: Mesh, use_space: bool = True) -> ShardCtx:

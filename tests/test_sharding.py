@@ -83,6 +83,78 @@ def test_sharded_step_matches_single_device_objective():
     assert abs(l_sh - l_si) / max(l_si, 1e-9) < 0.5, (l_sh, l_si)
 
 
+@pytest.mark.parametrize('drop_type', ['', 'smallify'])
+def test_dp_step_exactly_matches_single_device(drop_type):
+    """EXACT data-parallel equivalence (VERDICT r3 #6): feed the identical
+    global position stream to the sharded (data=8) and single-device step
+    runners.  pmean of per-shard mean-gradients == the global mean gradient,
+    so parameters must agree to f32 reduction-order noise — a wrong pmean or
+    data_scale cannot pass this."""
+    from latent_feature_grid_compression_tpu.train.trainer import (
+        _make_step_parts)
+    from latent_feature_grid_compression_tpu.parallel.mesh import make_shard_ctx
+    from jax.flatten_util import ravel_pytree
+
+    kw = dict(lambda_drop_loss=1e-5) if drop_type else {}
+    vol, ph, state = setup(drop_type=drop_type, **kw)
+    volume = jnp.asarray(vol)
+    K = 40
+    res = np.asarray(ph.resolution, np.int32)
+    pos_all = jax.random.randint(jax.random.key(7), (K, ph.batch_n, 3), 0,
+                                 res[None, None, :])
+    gate_keys = jax.random.split(jax.random.key(8), K)
+
+    # --- single device ----------------------------------------------------
+    _, step_fn, _ = _make_step_parts(ph, None, None)
+
+    @jax.jit
+    def run_single(s):
+        def body(s, xs):
+            pos, kg = xs
+            return step_fn(s, volume, pos, kg)
+        return jax.lax.scan(body, s, (pos_all, gate_keys))
+
+    s_single, m_single = run_single(state)
+
+    # --- sharded: the SAME stream, N axis split over 'data' ---------------
+    mesh = make_mesh(data=8, space=1)
+    sc = make_shard_ctx(mesh, use_space=False)
+    _, step_fn_sh, _ = _make_step_parts(ph, None, sc)
+
+    def chunk(s, v, pos, kg):
+        def body(s, xs):
+            p, k = xs
+            return step_fn_sh(s, v, p, k)
+        return jax.lax.scan(body, s, (pos, kg))
+
+    from jax import shard_map
+    sharded = jax.jit(jax.shard_map(
+        chunk, mesh=mesh,
+        in_specs=(P(), P(), P(None, 'data', None), P()),
+        out_specs=(P(), P()),
+        check_vma=False))
+    _, _, state2 = setup(drop_type=drop_type, **kw)
+    s_sh, m_sh = sharded(replicate(mesh, state2),
+                         shard_volume(mesh, volume, False),
+                         pos_all, gate_keys)
+
+    # step-1 loss: exact up to f32 reduction order
+    np.testing.assert_allclose(np.asarray(m_sh['loss'])[0],
+                               np.asarray(m_single['loss'])[0],
+                               rtol=1e-6, atol=1e-7)
+    # parameters after K steps: tight agreement (divergence only from f32
+    # non-associativity of the 8-shard mean vs the global mean)
+    f_single, _ = ravel_pytree((s_single.params, s_single.var_params))
+    f_sh, _ = ravel_pytree((s_sh.params, s_sh.var_params))
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_single),
+                               rtol=2e-4, atol=2e-5)
+    if drop_type == 'smallify':
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(s_sh.gate_aux.ema_var[0])),
+            np.asarray(jax.device_get(s_single.gate_aux.ema_var[0])),
+            rtol=1e-4, atol=1e-6)
+
+
 def test_sharded_smallify_gate_state_in_sync():
     vol, ph, state = setup(drop_type='smallify', lambda_drop_loss=1e-6)
     mesh = make_mesh(data=4, space=2)
