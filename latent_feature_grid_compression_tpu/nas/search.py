@@ -13,8 +13,12 @@ trial mechanics:
   in flight — the reference's TorchX ``local_cwd`` trial parallelism
   (Multi_Objective_NAS.py:85-93,221-224).
 * Objectives: maximize (compression_ratio, psnr) with acceptance thresholds
-  compression_ratio >= 100, psnr >= 30 dB (Multi_Objective_NAS.py:191-202);
-  metrics are read from each trial's info.txt artifact.
+  compression_ratio >= 100, psnr >= 30 dB (Multi_Objective_NAS.py:191-202).
+* Metrics are read the reference's way first — the final point of each
+  per-trial TensorBoard scalar curve (MyTensorboardMetric,
+  Multi_Objective_NAS.py:154-189) — falling back to the info.txt artifact
+  when the tensorboard reader is unavailable; a trial with neither is
+  treated as failed, mirroring the reference's no-TB-metric semantics.
 """
 
 from __future__ import annotations
@@ -181,7 +185,49 @@ class MultiObjectiveSearch:
         self.completed.append(trial)
 
 
-def read_trial_metrics(experiment_path: str) -> Optional[Dict[str, float]]:
+# the objective curves the reference's Ax metric class reads
+# (Multi_Objective_NAS.py:174-189); training() emits them as unkeyed
+# add_scalar calls at evaluation time
+_TB_TAGS = ('compression_ratio', 'psnr', 'rmse', 'mse', 'zeroes',
+            'compr_rmse')
+
+
+def read_trial_metrics_tb(log_dir: str) -> Optional[Dict[str, float]]:
+    """Read objective values from a trial's TensorBoard event curves.
+
+    Mirror of the reference's ``MyTensorboardMetric``
+    (Multi_Objective_NAS.py:154-189): load the trial's event files and take
+    the LAST point of each objective curve.  Returns None when the reader
+    is unavailable, the log dir does not exist, or no objective tag was
+    written (= failed trial, same semantics as the reference's missing TB
+    metric).
+    """
+    try:
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator)
+    except ImportError:
+        return None
+    if not os.path.isdir(log_dir):
+        return None
+    acc = EventAccumulator(log_dir, size_guidance={'scalars': 0})
+    acc.Reload()
+    out = {}
+    for tag in _TB_TAGS:
+        if tag in acc.Tags().get('scalars', ()):
+            events = acc.Scalars(tag)
+            if events:
+                out[tag] = float(events[-1].value)
+    return out or None
+
+
+def read_trial_metrics(experiment_path: str,
+                       tb_log_dir: Optional[str] = None
+                       ) -> Optional[Dict[str, float]]:
+    """Trial metrics: TB curves first (reference path), info.txt fallback."""
+    if tb_log_dir is not None:
+        tb = read_trial_metrics_tb(tb_log_dir)
+        if tb is not None:
+            return tb
     info = os.path.join(experiment_path, 'info.txt')
     if not os.path.exists(info):
         return None
@@ -233,7 +279,8 @@ def run_search(config_path: str, drop_type: str = 'smallify',
         if dry_run_cmd is not None:
             dry_run_cmd(cmd, expdir)
             trial.proc = None
-            trial.metrics = read_trial_metrics(expdir)
+            trial.metrics = read_trial_metrics(expdir,
+                                               'runs/' + trial.expname)
             search.report(trial)
             return
         trial.proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
@@ -256,7 +303,7 @@ def run_search(config_path: str, drop_type: str = 'smallify',
                 still.append(t)
                 continue
             expdir = os.path.abspath(os.getcwd()) + basedir + t.expname + '/'
-            t.metrics = read_trial_metrics(expdir)
+            t.metrics = read_trial_metrics(expdir, 'runs/' + t.expname)
             search.report(t)
         pending = still
 

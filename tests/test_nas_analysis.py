@@ -185,3 +185,41 @@ def test_plot_pruned_ratio_comparison(tmp_path):
          'without wavelet': str(tmp_path / 'without_wavelet')},
         str(tmp_path / 'pruned.png'))
     assert os.path.exists(p)
+
+
+def test_read_trial_metrics_tb_roundtrip(tmp_path):
+    """NAS metrics come from TensorBoard event curves like the reference's
+    MyTensorboardMetric (Multi_Objective_NAS.py:154-189): the final curve
+    point wins, info.txt is only a fallback."""
+    from latent_feature_grid_compression_tpu.nas.search import (
+        read_trial_metrics, read_trial_metrics_tb)
+    try:
+        from tensorboardX import SummaryWriter
+    except ImportError:
+        from torch.utils.tensorboard import SummaryWriter
+    log_dir = str(tmp_path / 'runs' / 'trial0')
+    w = SummaryWriter(log_dir)
+    for step, val in enumerate([10.0, 20.0, 150.0]):
+        w.add_scalar('compression_ratio', val, step)
+    w.add_scalar('psnr', 33.5)
+    w.close()
+
+    tb = read_trial_metrics_tb(log_dir)
+    assert tb is not None
+    assert tb['compression_ratio'] == 150.0      # last curve point
+    assert tb['psnr'] == 33.5
+
+    # preferred over info.txt when both exist
+    exp = tmp_path / 'exp'
+    exp.mkdir()
+    write_dict({'compression_ratio': 1.0, 'psnr': 1.0}, 'info.txt', str(exp))
+    m = read_trial_metrics(str(exp), log_dir)
+    assert m['compression_ratio'] == 150.0
+
+    # fallback path: no TB dir -> info.txt
+    m2 = read_trial_metrics(str(exp), str(tmp_path / 'nope'))
+    assert m2['compression_ratio'] == 1.0
+
+    # neither -> failed trial
+    assert read_trial_metrics(str(tmp_path / 'missing'),
+                              str(tmp_path / 'nope')) is None

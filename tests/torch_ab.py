@@ -44,18 +44,46 @@ def jax_pos_stream(k_train_phase, steps_per_chunk, N, res, n_chunks=10000):
             yield s
 
 
-class TorchMirror:
-    """Differentiable torch twin of (spec, params) with optional smallify."""
+def jax_gate_noise_stream(k_train_phase, steps_per_chunk, shapes,
+                          n_chunks=10000):
+    """Replay the jax trainer's per-step variational noise draws.
 
-    def __init__(self, spec, params):
+    Mirrors _scan_chunk + decode_volume exactly: per chunk
+    `key, k_pos, k_gate = split(key, 3)`, `gate_keys = split(k_gate, steps)`;
+    per step `keys = split(gate_keys[s], n_levels)` and
+    `xi_i = normal(keys[i], shapes[i])` (gates.apply_gate).  Yields a list of
+    per-level xi arrays per step."""
+    import jax
+    key = k_train_phase
+    for _ in range(n_chunks):
+        key, _k_pos, k_gate = jax.random.split(key, 3)
+        gate_keys = jax.random.split(k_gate, steps_per_chunk)
+        for skey in gate_keys:
+            keys = jax.random.split(skey, len(shapes))
+            yield [torch.from_numpy(np.asarray(
+                jax.random.normal(k, tuple(sh)))) for k, sh in
+                zip(keys, shapes)]
+
+
+class TorchMirror:
+    """Differentiable torch twin of (spec, params): dense, smallify,
+    masked_straight_through, or static_variational gates."""
+
+    def __init__(self, spec, params, variational_sigma=-7.0):
         t = lambda a: torch.from_numpy(np.asarray(a)).clone()
         self.spec = spec
+        self.drop_type = spec.drop_type
+        self.variational_sigma = variational_sigma
         self.coeffs = [t(c).requires_grad_(True) for c in params.coeffs]
         self.ws = [t(w).requires_grad_(True) for w in params.mlp_w]
         self.bs = [t(b).requires_grad_(True) for b in params.mlp_b]
         self.betas = None
         self.ema = None
         self.ema_var = None
+        self.mask_values = None
+        self.log_thetas = None
+        self.log_var = None
+        self.weight_dkl = None     # VariationalDropoutLoss ramp state
         self.d_masks = None        # frozen masks after bake (phase 2)
         if spec.drop_type == 'smallify':
             assert params.gates is not None
@@ -64,25 +92,70 @@ class TorchMirror:
             # tracker init (Smallify_Dropout.py:88-92)
             self.ema = [torch.sign(b.detach()) for b in self.betas]
             self.ema_var = [torch.zeros_like(b.detach()) for b in self.betas]
+        elif spec.drop_type == 'masked_straight_through':
+            self.mask_values = [t(m).requires_grad_(True)
+                                for m in params.gates.mask_values]
+        elif spec.drop_type == 'static_variational':
+            self.log_thetas = [t(x).requires_grad_(True)
+                               for x in params.gates.log_thetas]
+            self.log_var = [t(x).requires_grad_(True)
+                            for x in params.gates.log_var]
         elif spec.drop_type:
             raise NotImplementedError(spec.drop_type)
         self.oracle = TorchOracle3d(spec.wavelet)
 
+    @property
+    def variational(self):
+        return self.drop_type and 'variational' in self.drop_type
+
     def parameters(self):
         ps = self.coeffs + self.ws + self.bs
-        if self.betas is not None:
-            ps = ps + self.betas
+        for extra in (self.betas, self.mask_values, self.log_thetas,
+                      self.log_var):
+            if extra is not None:
+                ps = ps + extra
         return ps
 
-    def decode(self, train_gates: bool):
+    def dkl_sum(self):
+        """sum of per-level Molchanov KL (Variational_Dropout_Layer.py:115-122)."""
+        k1, k2, k3 = 0.63576, 1.87320, 1.48695
+        total = 0.0
+        for lt, lv in zip(self.log_thetas, self.log_var):
+            log_alpha = lv - 2.0 * lt
+            t1 = k1 * torch.sigmoid(k2 + k3 * log_alpha)
+            t2 = 0.5 * torch.nn.functional.softplus(-log_alpha)
+            total = total + torch.sum(-t1 + t2 + k1)
+        return total
+
+    def decode(self, train_gates: bool, xi_list=None):
         gated = self.coeffs
-        if train_gates and self.betas is not None:
-            if self.d_masks is None:
-                gated = [c * b.unsqueeze(0)
-                         for c, b in zip(self.coeffs, self.betas)]
-            else:  # post-bake: frozen d_mask path (Smallify_Dropout.py:60)
+        if train_gates and self.drop_type:
+            if self.d_masks is not None:
+                # post-bake: frozen d_mask path (Smallify_Dropout.py:60,
+                # Straight_Through_Dropout.py:58-59,
+                # Variational_Dropout_Layer.py:109-112)
                 gated = [c * m.unsqueeze(0)
                          for c, m in zip(self.coeffs, self.d_masks)]
+            elif self.drop_type == 'smallify':
+                gated = [c * b.unsqueeze(0)
+                         for c, b in zip(self.coeffs, self.betas)]
+            elif self.drop_type == 'masked_straight_through':
+                # (x*(m>=t) - x*m).detach() + x*m (Straight_Through_Dropout.py:57)
+                gated = []
+                for c, mv, thr in zip(self.coeffs, self.mask_values,
+                                      self.spec.thresholds):
+                    m = torch.sigmoid(mv).unsqueeze(0)
+                    hard = c * (m >= thr)
+                    soft = c * m
+                    gated.append((hard - soft).detach() + soft)
+            elif self.variational:
+                # x * (theta + sigma*xi) (Variational_Dropout_Layer.py:101-112)
+                gated = []
+                for c, lt, lv, xi in zip(self.coeffs, self.log_thetas,
+                                         self.log_var, xi_list):
+                    theta = torch.exp(lt)
+                    sigma = torch.exp(lv / 2.0)
+                    gated.append(c * (theta + sigma * xi).unsqueeze(0))
         restored = gated[0].unsqueeze(0)
         for high, shape in zip(gated[1:], self.spec.level_shapes):
             data = torch.cat([restored.unsqueeze(2), high.unsqueeze(0)], dim=2)
@@ -90,8 +163,8 @@ class TorchMirror:
         return restored[0]
 
     def forward(self, norm_positions: torch.Tensor, train_gates: bool,
-                clamp: bool = False):
-        grid = self.decode(train_gates)
+                clamp: bool = False, xi_list=None):
+        grid = self.decode(train_gates, xi_list=xi_list)
         g = norm_positions.view(1, 1, 1, -1, 3)
         feats = torch.nn.functional.grid_sample(
             grid.unsqueeze(0), g, mode='bilinear',
@@ -123,23 +196,53 @@ class TorchMirror:
                 self.ema_var[i] = (1.0 - m) * (self.ema_var[i] + m * phi * phi)
 
     def bake(self):
+        """save_dropvalues_on_grid (Feature_Grid_Model.py:110-128): multiply
+        coeffs with gate*mask, freeze d_masks, count discounted zeros."""
         with torch.no_grad():
-            masks = [torch.where(v < t, 1.0, 0.0)
-                     for v, t in zip(self.ema_var, self.spec.thresholds)]
+            if self.drop_type == 'smallify':
+                masks = [torch.where(v < t, 1.0, 0.0)
+                         for v, t in zip(self.ema_var, self.spec.thresholds)]
+                values = [mk * b for mk, b in zip(masks, self.betas)]
+                gate_n = sum(b.numel() for b in self.betas)
+            elif self.drop_type == 'masked_straight_through':
+                masks = [(torch.sigmoid(mv) >= t).float()
+                         for mv, t in zip(self.mask_values,
+                                          self.spec.thresholds)]
+                values = masks        # hard STE value == binary mask
+                gate_n = sum(m.numel() for m in self.mask_values)
+            elif self.variational:
+                masks = []
+                for lt, lv, t in zip(self.log_thetas, self.log_var,
+                                     self.spec.thresholds):
+                    alphas = torch.exp(lv - 2.0 * lt)
+                    rates = alphas / (1.0 + alphas)
+                    m = torch.where(rates < t, 1.0, 0.0)
+                    if torch.count_nonzero(m) == 0:  # keep >= 1 element
+                        m.reshape(-1)[0] = 1.0
+                    masks.append(m)
+                values = [m * torch.exp(lt)
+                          for m, lt in zip(masks, self.log_thetas)]
+                gate_n = sum(x.numel() for x in self.log_thetas)
+            else:
+                return None, 0.0
             self.coeffs = [
-                (c * (mk * b).unsqueeze(0)).clone().requires_grad_(True)
-                for c, mk, b in zip(self.coeffs, masks, self.betas)]
+                (c * v.unsqueeze(0)).clone().requires_grad_(True)
+                for c, v in zip(self.coeffs, values)]
             self.d_masks = masks
             zeros = sum(float(c.numel() - torch.count_nonzero(c))
                         for c in self.coeffs)
-            mask_bits = sum(b.numel() for b in self.betas)
-            return masks, zeros - mask_bits / 32.0
+            return masks, zeros - gate_n / 32.0
 
     def hard_prune(self):
         with torch.no_grad():
             self.coeffs = [c * m.unsqueeze(0)
                            for c, m in zip(self.coeffs, self.d_masks)]
             self.betas = None
+            self.mask_values = None
+            self.log_thetas = None
+            self.log_var = None
+            self.d_masks = None
+            self.drop_type = ''
 
 
 def psnr_full_volume(mirror: TorchMirror, volume: torch.Tensor,
@@ -166,7 +269,8 @@ def psnr_full_volume(mirror: TorchMirror, volume: torch.Tensor,
 def solve_model_torch(mirror: TorchMirror, optimizer, volume: torch.Tensor,
                       cfg, max_pass: float, train_gates: bool,
                       drop_loss: bool, gen: torch.Generator,
-                      verbose: bool = False, pos_stream=None):
+                      verbose: bool = False, pos_stream=None,
+                      noise_stream=None):
     """Reference solve_model (training/training.py:87-179) with IID integer
     position sampling and the NeurcompDecayStrategy.
 
@@ -201,8 +305,18 @@ def solve_model_torch(mirror: TorchMirror, optimizer, volume: torch.Tensor,
             norm = (pos.float() / max_idx * 2.0 - 1.0) * scales
             gt = flat[(pos * strides).sum(1)]
 
+            xi_list = None
+            if (train_gates and mirror.variational
+                    and mirror.d_masks is None):
+                if noise_stream is not None:
+                    xi_list = next(noise_stream)
+                else:
+                    xi_list = [torch.randn(tuple(lt.shape), generator=gen)
+                               for lt in mirror.log_thetas]
+
             optimizer.zero_grad()
-            pred = mirror.forward(norm, train_gates=train_gates)[:, 0]
+            pred = mirror.forward(norm, train_gates=train_gates,
+                                  xi_list=xi_list)[:, 0]
             # the reference updates the tracker inside the gate forward, i.e.
             # on the PRE-step betas (Smallify_Dropout.py:57-58)
             if (train_gates and mirror.betas is not None
@@ -213,12 +327,33 @@ def solve_model_torch(mirror: TorchMirror, optimizer, volume: torch.Tensor,
             voxel_seen += batch_n
             volume_passes = voxel_seen / n_voxels
 
-            loss = torch.mean((pred - gt) ** 2)
-            if drop_loss and mirror.betas is not None:
-                loss = loss + cfg.lambda_drop_loss * sum(
-                    torch.abs(b).sum() for b in mirror.betas)
-                loss = loss + cfg.lambda_weight_loss * sum(
-                    torch.sum(torch.abs(c) ** 2) for c in mirror.coeffs)
+            if drop_loss and mirror.variational:
+                # VariationalDropoutLoss.forward, ramp included
+                # (Variational_Dropout_Layer.py:54-69)
+                if mirror.weight_dkl < 30.0:
+                    mirror.weight_dkl = mirror.weight_dkl * (
+                        1.0 + cfg.weight_dkl_multiplier)
+                batch_scale = n_voxels / batch_n
+                log_sigma = torch.full_like(pred, mirror.variational_sigma)
+                sq = (gt - pred) ** 2
+                sigma = torch.exp(log_sigma)
+                a = 1.0 / (2.0 * sigma * sigma)
+                b = -(math.log(2.0 * math.pi) + 2.0 * log_sigma) / 2.0
+                ll = (a * (-sq) + b).sum() * batch_scale
+                dkl = mirror.weight_dkl * mirror.dkl_sum() * batch_scale
+                wsum = cfg.lambda_weight_loss * sum(
+                    torch.sum(torch.abs(c) ** 2)
+                    for c in mirror.coeffs) * batch_scale
+                loss = -(ll - dkl - wsum)
+            else:
+                loss = torch.mean((pred - gt) ** 2)
+                gates_l1 = mirror.betas if mirror.betas is not None \
+                    else mirror.mask_values
+                if drop_loss and gates_l1 is not None:
+                    loss = loss + cfg.lambda_drop_loss * sum(
+                        torch.abs(b).sum() for b in gates_l1)
+                    loss = loss + cfg.lambda_weight_loss * sum(
+                        torch.sum(torch.abs(c) ** 2) for c in mirror.coeffs)
             loss.backward()
             optimizer.step()
 
@@ -237,18 +372,22 @@ def solve_model_torch(mirror: TorchMirror, optimizer, volume: torch.Tensor,
 
 def training_torch(spec, params, volume_np: np.ndarray, cfg,
                    seed: int = 0, verbose: bool = False,
-                   pos_streams=(None, None)):
+                   pos_streams=(None, None), noise_stream=None):
     """Two-phase reference training (training/training.py:184-243) on the
     torch mirror; returns (psnr, zeros)."""
     torch.manual_seed(seed)
     gen = torch.Generator().manual_seed(seed + 1)
-    mirror = TorchMirror(spec, params)
+    mirror = TorchMirror(spec, params,
+                         variational_sigma=getattr(cfg, 'variational_sigma',
+                                                   -7.0))
+    mirror.weight_dkl = cfg.lambda_drop_loss
     volume = torch.from_numpy(volume_np)
 
     opt = torch.optim.Adam(mirror.parameters(), lr=cfg.lr)
     solve_model_torch(mirror, opt, volume, cfg, cfg.max_pass * (2.0 / 3.0),
                       train_gates=True, drop_loss=bool(spec.drop_type),
-                      gen=gen, verbose=verbose, pos_stream=pos_streams[0])
+                      gen=gen, verbose=verbose, pos_stream=pos_streams[0],
+                      noise_stream=noise_stream)
     zeros = 0.0
     if spec.drop_type:
         _, zeros = mirror.bake()
