@@ -43,6 +43,12 @@ def kmeans_quantization(values: np.ndarray, n_clusters: int, seed=None):
     """
     import os
     x = np.asarray(values, dtype=np.float32).reshape(-1)
+    if len(x) == 0:
+        # a fully-pruned tensor has no nonzeros to quantize: fixed-layout
+        # zero centers, no labels (the native/sklearn paths both crash on
+        # empty input — found by a NAS trial with aggressive lambdas)
+        return (np.zeros(0, dtype=np.int64),
+                np.zeros(n_clusters, dtype=np.float32))
     k = min(n_clusters, len(np.unique(x)))
     if os.environ.get('LFGC_KMEANS') != 'sklearn':
         try:
@@ -146,7 +152,8 @@ def store_model_parameters(spec: ModelSpec, params: ModelParams, filename: str,
             if bit_precision % 8 != 0:
                 # non-byte-aligned: last label re-written as u32
                 # (model_utils.py:179-181)
-                f.write(struct.pack('I', int(labels[-1])))
+                f.write(struct.pack('I',
+                                    int(labels[-1]) if len(labels) else 0))
 
         # MLP: first raw, middle quantized, last raw
         write_raw(weights[0]); write_raw(biases[0])

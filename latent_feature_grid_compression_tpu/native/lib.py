@@ -111,6 +111,8 @@ def kmeans_1d(data: np.ndarray, k: int, max_iter: int = 100,
     """Native 1-D k-means; returns (labels, centers)."""
     lib = _load()
     x = np.ascontiguousarray(data, dtype=np.float32).reshape(-1)
+    if len(x) == 0 or k < 1:   # the C kernel assumes n >= k >= 1
+        return np.zeros(0, dtype=np.int64), np.zeros(max(k, 0), np.float32)
     centers = np.zeros(k, dtype=np.float32)
     labels = np.zeros(len(x), dtype=np.int32)
     lib.lfgc_kmeans_1d(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

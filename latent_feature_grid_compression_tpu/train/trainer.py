@@ -609,7 +609,7 @@ def _emit_metrics(metrics, start_step, variational, writer, metric_cb,
                 writer.add_scalar('drop_loss', float(metrics['drop_loss'][i]), it)
     if metric_cb is not None:
         metric_cb(metrics)
-    if verbose and n:
+    if verbose and n and mask.any():   # all-idle chunks print nothing
         last = n - 1
         while last > 0 and not mask[last]:
             last -= 1

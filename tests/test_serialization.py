@@ -132,3 +132,31 @@ def test_container_header_layout():
     for c, nz, z in zip(params.coeffs, nonzeros, zeros):
         assert nz == int(np.count_nonzero(np.asarray(c)))
         assert z == int(np.asarray(c).size) - nz
+
+
+def test_container_roundtrip_with_fully_pruned_levels():
+    """A fully-pruned coefficient tensor (zero nonzeros) must store and
+    restore cleanly — the k-means quantizer used to crash on empty input
+    (found by a NAS trial with aggressive lambdas)."""
+    import jax
+    import jax.numpy as jnp
+    from latent_feature_grid_compression_tpu.models import (make_spec,
+                                                            init_model)
+    spec = make_spec(grid_size=15, grid_features=20, hidden=18, num_layers=4)
+    params, _ = init_model(jax.random.key(0), spec)
+    for zero_all in (False, True):
+        if zero_all:
+            p = params.replace(coeffs=tuple(jnp.zeros_like(c)
+                                            for c in params.coeffs))
+        else:
+            p = params.replace(coeffs=(jnp.zeros_like(params.coeffs[0]),)
+                               + params.coeffs[1:])
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, 'bin')
+            store_model_parameters(spec, p, path)
+            assert os.path.exists(path + '_mask.bnr')
+            spec2, p2 = restore_model(path)
+        np.testing.assert_array_equal(np.asarray(p2.coeffs[0]), 0.0)
+        for c, c2 in zip(p.coeffs, p2.coeffs):
+            assert float(jnp.abs(c - c2).max()) < 0.05   # 8-bit quant error

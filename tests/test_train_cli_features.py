@@ -266,3 +266,40 @@ def test_rng_impl_flag(tmp_path):
         assert np.isfinite(info['psnr']) and info['psnr'] > 10.0, (impl, info)
     # different streams, same statistics: both must learn
     assert abs(psnrs['rbg'] - psnrs['threefry2x32']) < 15.0
+
+
+def test_epoch_boundary_early_stop_quirk():
+    """Reference termination semantics: the outer `while int(vp)+1 < max_pass`
+    check only runs when the DataLoader is exhausted (training/training.py:88),
+    so a phase whose budget lands just past an epoch boundary stops EARLY.
+
+    Here: 16^3 volume (4096 voxels), batch 512x1 -> one loader epoch = 8
+    steps = exactly 1 volume pass.  With max_pass=2.5 the epoch check at
+    vp=2.0 sees int(2)+1 >= 2.5 and stops after 16 steps; the per-step break
+    (int(vp) >= 2.5) alone would have run to vp=3.0 (24 steps)."""
+    from latent_feature_grid_compression_tpu.data.volume import VolumeMeta
+    from latent_feature_grid_compression_tpu.models import make_spec, init_model
+    from latent_feature_grid_compression_tpu.train.trainer import (
+        make_phase_spec, init_train_state, make_chunk_runner)
+
+    n = 16
+    vol = np.zeros((n, n, n), np.float32)
+    meta = VolumeMeta(vol.shape)
+    cfg = TrainConfig(drop_type='', batch_size=512, sample_size=1,
+                      grid_size=8, grid_features=4, n_hidden_size=8,
+                      n_layers=2, max_pass=2.5, lr=0.01)
+    spec = make_spec(grid_size=cfg.grid_size, grid_features=cfg.grid_features,
+                     hidden=cfg.n_hidden_size, num_layers=cfg.n_layers)
+    ph = make_phase_spec(cfg, spec, meta, phase=1)
+    assert ph.loader_len == 8
+    # phase 1 budget = 2.5 * 2/3 ... use the raw budget instead
+    import dataclasses
+    ph = dataclasses.replace(ph, max_pass=2.5)
+    params, aux = init_model(jax.random.key(0), spec)
+    state = init_train_state(params, None, aux, cfg.lr, cfg.lr,
+                             jax.random.key(1), cfg.lambda_drop_loss)
+    run = make_chunk_runner(ph, None, steps_per_chunk=30)
+    state, metrics = run(state, jnp.asarray(vol))
+    live = int(np.sum(np.asarray(metrics['lr']) > 0))
+    assert int(state.step) == 16, int(state.step)
+    assert live == 16, live

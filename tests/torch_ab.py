@@ -8,8 +8,9 @@ randomness.  Sampling follows data/IndexDataset.py:90-96 (uniform IID
 integer voxel positions, so GT interpolation reduces to an exact gather —
 the identity proven in tests/test_interpolation.py).
 
-Used by tests/test_ab_parity.py (slow-marked) and examples/ab_torch_parity.py
-(the BENCH_NOTES A/B table).
+Used by tests/test_ab_parity.py (slow-marked) and the BENCH_NOTES A/B
+studies examples/ab_seed_sweep.py (free-stream, multi-seed) and
+examples/ab_stream_matched.py (exact stream-matched comparison).
 """
 
 from __future__ import annotations
