@@ -1,7 +1,19 @@
 """Fully-fused model forward: interpolation + fourier embedding + MLP in ONE
 Pallas TPU kernel, with a recompute-based backward.
 
-Motivation (examples/bisect_micro.py, v5e, flagship shapes): the unfused
+STATUS (r4): opt-in, NOT the default.  Measured end-to-end at flagship
+shapes (examples/bench_step_backends.py, one v5e chip) this kernel runs the
+train step at 3.67 ms vs 2.11 ms for the two-kernel path
+(ops/pallas_kernels.py interp + XLA MLP), so resolve_interp_backend('auto')
+picks 'pallas'.  Suspected causes of the gap: every MLP layer is padded to
+128x128 lanes with 3-pass f32 splitting (~16x the useful FLOPs, doubled by
+the recompute-based backward), and the ~22 VMEM-resident refs of the
+backward kernel at block_n=1024 likely exceed comfortable VMEM pipelining.
+Kept because it is parity-tested (tests/test_fused_forward.py) and is the
+scaffold for a packed-lane v2; any future default flip must win
+bench_step_backends.py first (bench.py --check guards the end-to-end rate).
+
+Original motivation (v5e, flagship shapes): the unfused
 step spends ~0.36 ms in interp fwd+bwd and another ~0.36 ms in the 4x32 MLP
 — almost all of it HBM round trips for (N, 128)-padded activations between
 tiny matmuls, not FLOPs.  Fusing the whole sample pipeline keeps every
