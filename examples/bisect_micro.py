@@ -123,9 +123,25 @@ def main():
                == (p[:, 2] % seg)[:, None])
         return (acc + jnp.sum(jnp.where(sel, rows, 0.0)), p)
 
+    # 128-lane rows: pad Z to a multiple of 128 so each gathered row is
+    # exactly one 512-byte lane tile (half the bytes of the 255-f32 row)
+    Z128 = -(-res[2] // 128) * 128
+    vol_128 = jnp.pad(volume, ((0, 0), (0, 0), (0, Z128 - res[2])))
+    v128 = vol_128.reshape(res[0] * res[1] * (Z128 // 128), 128)
+
+    def gt_row128(c):
+        acc, p = c
+        p = (p + 131) % res[None, :]
+        row = (p[:, 0] * res[1] + p[:, 1]) * (Z128 // 128) + p[:, 2] // 128
+        rows = v128[row]                                   # (N, 128)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+               == (p[:, 2] % 128)[:, None])
+        return (acc + jnp.sum(jnp.where(sel, rows, 0.0)), p)
+
     timeit('gt[row255]', scan(gt_row), (jnp.zeros(()), pos))
     timeit('gt[elem]', scan(gt_elem), (jnp.zeros(()), pos))
     timeit('gt[seg8]', scan(gt_seg), (jnp.zeros(()), pos))
+    timeit('gt[row128]', scan(gt_row128), (jnp.zeros(()), pos))
 
     # --- decode (gated inverse DWT) ------------------------------------------
     def decode_body(c):
