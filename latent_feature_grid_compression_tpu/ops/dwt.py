@@ -117,7 +117,25 @@ class WaveletFilterNd:
 
     # -- reverse ----------------------------------------------------------
     def decode(self, coeffs: jax.Array, shape) -> jax.Array:
-        """Inverse DWT. coeffs: (B, C, 2**dim, *spatial'). shape: target spatial."""
+        """Inverse DWT. coeffs: (B, C, 2**dim, *spatial'). shape: target spatial.
+
+        Runs as ``dim`` small separable MXU matmuls (see
+        :meth:`_decode_matmul`); the transposed-conv formulation is kept as
+        :meth:`decode_conv` (the two are verified equal in tests/test_dwt.py
+        and the matmul path's synthesis matrices are *constructed* from it).
+        """
+        if self.dim in (1, 2, 3):
+            return self._decode_matmul(coeffs, shape)
+        return self.decode_conv(coeffs, shape)
+
+    def decode_conv(self, coeffs: jax.Array, shape) -> jax.Array:
+        """Inverse DWT via transposed convolution (the reference formulation,
+        Torch_Wavelet_Transform.py:91-104).
+
+        On TPU this hits XLA's convolution engine with pathologically tiny
+        channel counts: profiled at ~0.9 ms/step fwd+bwd at flagship shapes
+        — ~43% of the whole train step — which is why :meth:`decode` uses
+        the separable-matmul formulation instead."""
         assert coeffs.ndim == 3 + self.dim, (
             f"decode expects rank {self.dim + 3}, got {coeffs.ndim}")
         B, C = coeffs.shape[:2]
@@ -140,6 +158,77 @@ class WaveletFilterNd:
         sl = tuple(slice(int(np.floor(d / 2)), -int(np.ceil(d / 2)) or None)
                    for d in diff)
         return y[(slice(None), slice(None)) + sl]
+
+    def _synthesis_matrix(self, s_in: int, s_out: int) -> np.ndarray:
+        """(2, s_in, s_out) per-axis synthesis operators [T_lo, T_hi].
+
+        Column j of T_lo is the decoded output of the unit lowpass
+        coefficient e_j (highpass zero) through the 1-D conv decode —
+        i.e. the matrices are constructed FROM decode_conv, so the matmul
+        path reproduces its padding/centering semantics bit-for-bit up to
+        f32 summation order."""
+        return _synthesis_matrix_cached(self.wavelet, s_in, s_out)
+
+    def _decode_matmul(self, coeffs: jax.Array, shape) -> jax.Array:
+        """Inverse DWT as ``dim`` separable contractions on the MXU.
+
+        The synthesis is linear and separable: grouping the 2**dim subbands
+        by their per-axis lo/hi bit (first spatial dim = MSB,
+        Torch_Wavelet_Transform.py:44-53), each axis is one einsum with the
+        stacked (2, s_in, s_out) operator — three tiny matmuls instead of a
+        channel-starved 3-D transposed conv."""
+        assert coeffs.ndim == 3 + self.dim, (
+            f"decode expects rank {self.dim + 3}, got {coeffs.ndim}")
+        B, C = coeffs.shape[:2]
+        spatial = coeffs.shape[3:]
+        shape = tuple(int(v) for v in np.asarray(shape, dtype=int))
+        x = coeffs.reshape((B * C,) + (2,) * self.dim + tuple(spatial))
+        dt = coeffs.dtype
+        Ts = [jnp.asarray(self._synthesis_matrix(int(s_in), int(s_out)),
+                          dtype=dt)
+              for s_in, s_out in zip(spatial, shape)]
+        if self.dim == 1:
+            y = jnp.einsum('nax,axX->nX', x, Ts[0],
+                           precision=jax.lax.Precision.HIGHEST)
+        elif self.dim == 2:
+            y = jnp.einsum('nabxy,byY->nabxY', x, Ts[1],
+                           precision=jax.lax.Precision.HIGHEST)
+            y = jnp.einsum('nabxY,axX->nXY', y, Ts[0],
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            y = jnp.einsum('nabwxyz,wzZ->nabxyZ', x, Ts[2],
+                           precision=jax.lax.Precision.HIGHEST)
+            y = jnp.einsum('nabxyZ,byY->naxYZ', y, Ts[1],
+                           precision=jax.lax.Precision.HIGHEST)
+            y = jnp.einsum('naxYZ,axX->nXYZ', y, Ts[0],
+                           precision=jax.lax.Precision.HIGHEST)
+        return y.reshape((B, C) + shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _synthesis_matrix_cached(wavelet: str, s_in: int, s_out: int) -> np.ndarray:
+    """Build (2, s_in, s_out) [T_lo, T_hi] by pushing unit coefficients
+    through the 1-D conv-decode algebra in pure numpy.
+
+    decode_conv is: upsample-by-2 (lhs_dilation), pad L-1, correlate with
+    the flipped rec kernel == full convolution with the rec filter, sum
+    bands, centered crop — so column j of T is conv_full(up(e_j), rec)
+    cropped.  Equality with decode_conv is asserted in tests/test_dwt.py."""
+    bank = get_filter_bank(wavelet)
+    L = bank.filter_length
+    out = []
+    for rec in (bank.rec_lo, bank.rec_hi):
+        T = np.zeros((s_in, s_out))
+        for j in range(s_in):
+            up = np.zeros(2 * s_in - 1)
+            up[2 * j] = 1.0
+            full = np.convolve(up, rec)               # length 2*s_in + L - 2
+            diff = len(full) - s_out
+            lo = int(np.floor(diff / 2))
+            hi = len(full) - int(np.ceil(diff / 2))
+            T[j] = full[lo:hi]
+        out.append(T)
+    return np.stack(out).astype(np.float32)
 
 
 class WaveletFilter3d(WaveletFilterNd):

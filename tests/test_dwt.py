@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from latent_feature_grid_compression_tpu.wavelets import get_filter_bank, dwt_max_level
 from latent_feature_grid_compression_tpu.ops.dwt import (
-    WaveletFilter3d, encode_pyramid, decode_pyramid)
+    WaveletFilter3d, WaveletFilterNd, encode_pyramid, decode_pyramid)
 
 
 class TorchOracle3d:
@@ -127,3 +127,19 @@ def test_pyramid_shapes_grid15():
     assert coeffs[2].shape == (16, 7, 9, 9, 9)
     assert shapes[0].tolist() == [9, 9, 9]
     assert shapes[1].tolist() == [15, 15, 15]
+
+
+def test_decode_matmul_equals_decode_conv():
+    """The separable-matmul inverse DWT (the shipped decode) must reproduce
+    the transposed-conv formulation it was constructed from, for every
+    filter family and odd/even shape."""
+    rng = np.random.default_rng(0)
+    for name in ['db2', 'db4', 'haar', 'bior4.4', 'sym4']:
+        for dim, shape in [(1, (13,)), (2, (15, 10)), (3, (15, 15, 15)),
+                           (3, (16, 12, 9))]:
+            f = WaveletFilterNd(name, dim)
+            x = rng.standard_normal((2, 3) + shape).astype(np.float32)
+            y, s = f.encode(x)
+            a = np.asarray(f.decode_conv(y, s))
+            b = np.asarray(f._decode_matmul(y, s))
+            assert np.abs(a - b).max() < 3e-6, (name, dim, shape)
