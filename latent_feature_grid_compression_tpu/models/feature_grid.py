@@ -87,7 +87,9 @@ def resolve_interp_backend(backend: str, grid_size: int) -> str:
     """Resolve 'auto' to the fastest correct backend for this platform.
 
     'auto' picks winners by MEASUREMENT (examples/bench_step_backends.py on
-    one v5e chip, flagship train step, grid 16x15^3 / batch 32768):
+    one v5e chip, flagship train step, grid 16x15^3 / batch 32768; ms/step
+    with the conv-era decode — the matmul DWT decode later cut the winning
+    configuration to 1.28 ms/step / 25.6 Ms/s, same backend ranking):
 
         pallas 2.11 ms/step (15.6 Ms/s)   <- auto on TPU, small grids
         fused  3.67 ms/step ( 8.9 Ms/s)   <- opt-in only until it wins
