@@ -60,6 +60,11 @@ class ModelSpec:
     # compute path (params and the DWT decode stay f32; casts happen at the
     # feature-fetch boundary, output is always f32)
     compute_dtype: str = 'float32'
+    # MLP execution: 'xla' (jnp.dot chain) or 'pallas' (fused single-kernel
+    # fwd/bwd, ops/mlp_pallas.py — TPU only, all dims <= 128; matmul
+    # precision matches the XLA path's effective TPU default of one bf16
+    # MXU pass)
+    mlp_backend: str = 'xla'
 
     @property
     def num_levels(self) -> int:
@@ -116,7 +121,7 @@ def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
               grid_features=16, grid_size=32, wavelet='db2', drop_type='',
               drop_momentum=0.025, drop_threshold=0.75,
               pruning_threshold_list=None, interp_backend='xla',
-              compute_dtype='float32') -> ModelSpec:
+              compute_dtype='float32', mlp_backend='xla') -> ModelSpec:
     """Build a ModelSpec, precomputing the wavelet pyramid level shapes."""
     requested = interp_backend
     resolved = resolve_interp_backend(interp_backend, grid_size)
@@ -146,13 +151,16 @@ def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
                            for i in range(n_tensors))
     else:
         thresholds = (drop_threshold,) * n_tensors
+    if mlp_backend not in ('xla', 'pallas'):
+        raise ValueError(f"mlp_backend must be 'xla' or 'pallas'; "
+                         f"got {mlp_backend!r}")
     spec = ModelSpec(d_in=d_in, hidden=hidden, d_out=d_out,
                      num_layers=num_layers, n_freqs=n_freqs,
                      grid_features=grid_features, grid_size=grid_size,
                      wavelet=wavelet, drop_type=drop_type,
                      drop_momentum=drop_momentum, thresholds=thresholds,
                      level_shapes=level_shapes, interp_backend=resolved,
-                     compute_dtype=compute_dtype)
+                     compute_dtype=compute_dtype, mlp_backend=mlp_backend)
     if requested == 'fused' and not _fused_eligible(spec):
         # an explicitly requested backend must never be silently swapped
         # (ADVICE r3); only 'auto' may fall back
@@ -253,7 +261,11 @@ def apply_model(spec: ModelSpec, params: ModelParams, coords: jax.Array, *,
                                coords)                         # (N, F)
     emb = fourier_embed(coords, spec.n_freqs)
     x = jnp.concatenate([coords, emb, feats.astype(jnp.float32)], axis=-1)
-    if bf16:
+    if spec.mlp_backend == 'pallas':
+        from ..ops.mlp_pallas import mlp_apply_pallas
+        out = mlp_apply_pallas(list(params.mlp_w), list(params.mlp_b), x,
+                               precision='bf16')
+    elif bf16:
         out = mlp_apply([w.astype(jnp.bfloat16) for w in params.mlp_w],
                         [b.astype(jnp.bfloat16) for b in params.mlp_b],
                         x.astype(jnp.bfloat16), snake_alt)
