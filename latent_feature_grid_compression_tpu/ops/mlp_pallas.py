@@ -2,16 +2,18 @@
 
 STATUS (r4): opt-in via ModelSpec.mlp_backend='pallas'; NOT the default.
 Measured in the full flagship train step on one chip the fused MLP runs
-2.42 ms/step vs 1.28 ms for the XLA chain — the +1.14 ms matches ~0.5 ms of
-fixed cost PER PALLAS INVOCATION on this remote-TPU setup (two extra
-invocations per step), the same pathology that sank the one-kernel
-fused_forward.py; rewriting the backward's transposes as dot_general
-contractions changed nothing.  Conclusion recorded so r5 doesn't re-try
-standalone kernels blind: on this setup, extra Pallas calls only pay off
-when they REPLACE something slower (as the interpolation kernel does) —
-fusing the MLP means folding it into the existing interp kernels, not
-adding new ones.  The kernel stays because it is parity-tested
-(tests/test_mlp_pallas.py) and is the building block for that fold-in.
+2.42 ms/step vs 1.28 ms for the XLA chain, even though STANDALONE the same
+kernel matches XLA (1.64 vs 1.71 ms/step scan-amortized): the +1.14 ms is a
+scheduling effect — XLA cannot software-pipeline the step's other ops
+across custom-call boundaries the way it overlaps its own fusions, so every
+added invocation serializes real work (the same pathology that sank the
+one-kernel fused_forward.py; rewriting the backward's transposes as
+dot_general contractions changed nothing).  Conclusion recorded so r5
+doesn't re-try standalone kernels blind: keep the number of custom calls
+per step minimal — fusing the MLP means folding it into the existing
+interp kernels' two invocations, not adding new ones.  The kernel stays
+because it is parity-tested (tests/test_mlp_pallas.py) and is the building
+block for that fold-in.
 
 The motivating arithmetic: the XLA MLP at flagship shapes
 ((32768, 31) -> 4x32 -> 1) costs ~0.4 ms of
