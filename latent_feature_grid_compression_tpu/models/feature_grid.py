@@ -245,9 +245,11 @@ def apply_model(spec: ModelSpec, params: ModelParams, coords: jax.Array, *,
     bf16 = spec.compute_dtype == 'bfloat16'
     if spec.interp_backend == 'fused' and _fused_eligible(spec):
         from ..ops.fused_forward import fused_forward
+        # 'mixed' = f32-split interpolation + single-pass bf16 MLP — the
+        # same effective numerics as the pallas+XLA path it replaces
         out = fused_forward(grid, coords, list(params.mlp_w),
                             list(params.mlp_b), spec.n_freqs,
-                            precision='bf16' if bf16 else 'f32')
+                            precision='bf16' if bf16 else 'mixed')
         if not train:
             out = jnp.clip(out, -1.0, 1.0)
         return out

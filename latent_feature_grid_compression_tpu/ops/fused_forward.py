@@ -57,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import (_cells_xy, _cells_z, _dot, _hat, _round_up,
                              _w2_hz)
+from .mlp_pallas import _dot_nt, _dot_tn
 
 LANE = 128
 
@@ -101,17 +102,27 @@ def _mlp_chain(x0, w_refs, b_refs, precision):
     return out, pre
 
 
+def _prec_split(precision):
+    """(interp_precision, mlp_precision).  'mixed' = f32-split interpolation
+    + single-pass bf16 MLP (the XLA MLP's effective TPU default)."""
+    if precision == 'mixed':
+        return 'f32', 'bf16'
+    return precision, precision
+
+
 def _fwd_kernel(pix_ref, crd_ref, cxy_ref, cz_ref, gstack_ref, s_ref,
                 *rest, n_layers, n_freqs, d_in, d_out, precision):
     w_refs = rest[:n_layers + 1]
     b_refs = rest[n_layers + 1:2 * (n_layers + 1)]
-    out_ref = rest[-1]
+    out_ref, x0_ref = rest[-2], rest[-1]
+    iprec, mprec = _prec_split(precision)
     w2, hz = _w2_hz(pix_ref, cxy_ref, cz_ref)
-    tmp = _dot(w2, gstack_ref[:, :], precision)             # (bn, DCp)
-    x0 = _dot(hz * tmp, s_ref[:, :], precision, right_exact=True)  # (bn,128)
+    tmp = _dot(w2, gstack_ref[:, :], iprec)                 # (bn, DCp)
+    x0 = _dot(hz * tmp, s_ref[:, :], iprec, right_exact=True)  # (bn,128)
     emb = _emb_cols(crd_ref[:, :], n_freqs, d_in)
     x0 = x0 + jnp.pad(emb, ((0, 0), (0, LANE - emb.shape[1])))
-    out, _ = _mlp_chain(x0, w_refs, b_refs, precision)
+    x0_ref[:, :] = x0                # residual: saves the backward from
+    out, _ = _mlp_chain(x0, w_refs, b_refs, mprec)  # recomputing the interp
     out_ref[:, :] = out[:, :out_ref.shape[1]]
 
 
@@ -121,9 +132,11 @@ def _bwd_kernel(pix_ref, crd_ref, cxy_ref, cz_ref, gstack_ref, s_ref,
     w_refs = rest[:nw]
     b_refs = rest[nw:2 * nw]
     g_ref = rest[2 * nw]
-    dg_ref = rest[2 * nw + 1]
-    dw_refs = rest[2 * nw + 2:3 * nw + 2]
-    db_refs = rest[3 * nw + 2:4 * nw + 2]
+    x0_ref = rest[2 * nw + 1]
+    dg_ref = rest[2 * nw + 2]
+    dw_refs = rest[2 * nw + 3:3 * nw + 3]
+    db_refs = rest[3 * nw + 3:4 * nw + 3]
+    iprec, mprec = _prec_split(precision)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -131,17 +144,15 @@ def _bwd_kernel(pix_ref, crd_ref, cxy_ref, cz_ref, gstack_ref, s_ref,
         for r in list(dw_refs) + list(db_refs):
             r[:, :] = jnp.zeros_like(r)
 
-    # --- recompute forward ------------------------------------------------
-    w2, hz = _w2_hz(pix_ref, cxy_ref, cz_ref)
-    tmp = _dot(w2, gstack_ref[:, :], precision)
-    x0 = _dot(hz * tmp, s_ref[:, :], precision, right_exact=True)
-    emb = _emb_cols(crd_ref[:, :], n_freqs, d_in)
-    x0 = x0 + jnp.pad(emb, ((0, 0), (0, LANE - emb.shape[1])))
+    # --- recompute only the cheap MLP chain from the saved x0 residual ----
+    # (the forward's interpolation matmuls are NOT redone; only the VPU hat
+    # weights are rebuilt for the grid-gradient contraction below)
+    x0 = x0_ref[:, :]
     hs = [x0]
     pre = []
     h = x0
     for i in range(n_layers):
-        z = _dot(h, w_refs[i][:, :], precision) + b_refs[i][:, :]
+        z = _dot(h, w_refs[i][:, :], mprec) + b_refs[i][:, :]
         pre.append(z)
         h = _snake(z)
         hs.append(h)
@@ -149,17 +160,18 @@ def _bwd_kernel(pix_ref, crd_ref, cxy_ref, cz_ref, gstack_ref, s_ref,
     # --- backward ---------------------------------------------------------
     g = g_ref[:, :]                                         # (bn, d_out)
     gp = jnp.pad(g, ((0, 0), (0, LANE - g.shape[1])))
-    dw_refs[-1][:, :] += _dot(hs[-1].T, gp, precision)
+    dw_refs[-1][:, :] += _dot_tn(hs[-1], gp, mprec)
     db_refs[-1][:, :] += jnp.sum(gp, axis=0, keepdims=True)
-    dh = _dot(gp, w_refs[-1][:, :].T, precision)            # (bn, 128)
+    dh = _dot_nt(gp, w_refs[-1][:, :], mprec)               # (bn, 128)
     for i in range(n_layers - 1, -1, -1):
         dz = dh * _snake_grad(pre[i])
-        dw_refs[i][:, :] += _dot(hs[i].T, dz, precision)
+        dw_refs[i][:, :] += _dot_tn(hs[i], dz, mprec)
         db_refs[i][:, :] += jnp.sum(dz, axis=0, keepdims=True)
-        dh = _dot(dz, w_refs[i][:, :].T, precision)
+        dh = _dot_nt(dz, w_refs[i][:, :], mprec)
     # dh is now dX: route the feature lanes back through the interpolation
-    dfeat_exp = _dot(dh, s_ref[:, :].T, precision, right_exact=True)
-    dg_ref[:, :] += _dot(w2.T, hz * dfeat_exp, precision)
+    w2, hz = _w2_hz(pix_ref, cxy_ref, cz_ref)
+    dfeat_exp = _dot(dh, s_ref[:, :].T, iprec, right_exact=True)
+    dg_ref[:, :] += _dot(w2.T, hz * dfeat_exp, iprec)
 
 
 def _pad_lane(a: jax.Array, rows: int = 0) -> jax.Array:
@@ -206,21 +218,25 @@ def _call(kernel, gstack, weights, biases, static, consts, interpret,
 def _fused_fwd(gstack, weights, biases, consts, static, interpret):
     (block_n, n_layers, n_freqs, d_in, d_out, precision) = static
     n = consts[0].shape[0]
-    out = _call(
+    blk = lambda w: pl.BlockSpec((block_n, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    out, x0 = _call(
         _fwd_kernel, gstack, weights, biases, static, consts, interpret,
-        out_specs=pl.BlockSpec((block_n, d_out), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d_out), jnp.float32))
-    return out, (gstack, weights, biases, consts)
+        out_specs=[blk(d_out), blk(LANE)],
+        out_shape=[jax.ShapeDtypeStruct((n, d_out), jnp.float32),
+                   jax.ShapeDtypeStruct((n, LANE), jnp.float32)])
+    return out, (gstack, weights, biases, consts, x0)
 
 
 def _fused_bwd(static, interpret, res, g):
     (block_n, n_layers, n_freqs, d_in, d_out, precision) = static
-    gstack, weights, biases, consts = res
+    gstack, weights, biases, consts, x0 = res
     hwp, dcp = gstack.shape
     nw = n_layers + 1
     row = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
+    blk = lambda w: pl.BlockSpec((block_n, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
     out_specs = ([row((hwp, dcp))] + [row((LANE, LANE))] * nw
                  + [row((1, LANE))] * nw)
     out_shape = ([jax.ShapeDtypeStruct((hwp, dcp), jnp.float32)]
@@ -228,9 +244,8 @@ def _fused_bwd(static, interpret, res, g):
                  + [jax.ShapeDtypeStruct((1, LANE), jnp.float32)] * nw)
     outs = _call(
         _bwd_kernel, gstack, weights, biases, static, consts, interpret,
-        extra_in=(g,),
-        extra_specs=(pl.BlockSpec((block_n, d_out), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM),),
+        extra_in=(g, x0),
+        extra_specs=(blk(d_out), blk(LANE)),
         out_specs=out_specs, out_shape=out_shape)
     dg = outs[0]
     # cotangents match the PADDED weights/biases passed to _fused; the outer
@@ -254,6 +269,11 @@ def fused_forward(features: jax.Array, coords: jax.Array,
     the MLP parameters.  Requires H*W small enough for the VMEM-resident
     formulation (the caller falls back to the unfused path otherwise) and
     mlp input/hidden widths <= 128.
+
+    precision: 'f32' (3-pass bf16 splitting everywhere, ~1e-6 parity with
+    the unfused f32 path), 'mixed' (f32-split interpolation + single-pass
+    bf16 MLP — matching the unfused path's EFFECTIVE TPU numerics, where
+    jnp.dot's default precision is one bf16 pass), or 'bf16'.
     """
     C, D, H, W = features.shape
     n, d_in = coords.shape

@@ -2,18 +2,23 @@
 
 STATUS (r4): opt-in via ModelSpec.mlp_backend='pallas'; NOT the default.
 Measured in the full flagship train step on one chip the fused MLP runs
-2.42 ms/step vs 1.28 ms for the XLA chain, even though STANDALONE the same
-kernel matches XLA (1.64 vs 1.71 ms/step scan-amortized): the +1.14 ms is a
-scheduling effect — XLA cannot software-pipeline the step's other ops
-across custom-call boundaries the way it overlaps its own fusions, so every
-added invocation serializes real work (the same pathology that sank the
-one-kernel fused_forward.py; rewriting the backward's transposes as
-dot_general contractions changed nothing).  Conclusion recorded so r5
-doesn't re-try standalone kernels blind: keep the number of custom calls
-per step minimal — fusing the MLP means folding it into the existing
-interp kernels' two invocations, not adding new ones.  The kernel stays
-because it is parity-tested (tests/test_mlp_pallas.py) and is the building
-block for that fold-in.
+~2.4 ms/step vs ~1.3 ms for the XLA chain, even though STANDALONE the same
+kernel matches XLA (1.64 vs 1.71 ms/step scan-amortized).  Three hypotheses
+for the constant ~+1.1 ms were tested and ELIMINATED in-step:
+  (1) in-kernel transposes — rewritten as dot_general contracting dims:
+      no change;
+  (2) invocation count — folding the MLP into the fused interp kernel pair
+      (fused_forward 'mixed', same 2 invocations as the shipped path) still
+      measures ~2.4 ms;
+  (3) operand count — packing all weights/biases into single stacked
+      operands (this file's current interface): no change.
+The remaining explanation is an opaque scheduling property of this
+remote-TPU platform: whenever the step's custom calls grow beyond the
+two lean interpolation kernels, ~1.1 ms of cross-iteration overlap is
+lost.  Practical rule for r5: only a profiler trace of the two step
+variants side by side can localize it; do not iterate blind kernel
+variants.  The kernel stays because it is parity-tested
+(tests/test_mlp_pallas.py) and standalone-competitive.
 
 The motivating arithmetic: the XLA MLP at flagship shapes
 ((32768, 31) -> 4x32 -> 1) costs ~0.4 ms of
@@ -87,64 +92,62 @@ def _dot_nt(a, b, precision):
     return _dot_dims(a, b, ((1,), (1,)), precision)
 
 
-def _fwd_kernel(x_ref, *rest, n_layers, precision):
-    nw = n_layers + 1
-    w_refs = rest[:nw]
-    b_refs = rest[nw:2 * nw]
-    out_ref = rest[-1]
+# Weights/biases travel as ONE stacked operand each ((nw*LANE, LANE) and
+# (nw, LANE)) instead of 2*(n_layers+1) separate refs: Mosaic re-issues a
+# DMA per operand per grid step even for constant-index blocks, and ~20
+# small operands measurably serialize the whole step.
+def _w(ws_ref, i):
+    return ws_ref[i * LANE:(i + 1) * LANE, :]
+
+
+def _fwd_kernel(x_ref, ws_ref, bs_ref, out_ref, *, n_layers, precision):
     h = x_ref[:, :]
     for i in range(n_layers):
-        h = _snake(_dot(h, w_refs[i][:, :], precision) + b_refs[i][:, :])
-    out_ref[:, :] = _dot(h, w_refs[-1][:, :], precision) + b_refs[-1][:, :]
+        h = _snake(_dot(h, _w(ws_ref, i), precision) + bs_ref[i, :][None, :])
+    out_ref[:, :] = (_dot(h, _w(ws_ref, n_layers), precision)
+                     + bs_ref[n_layers, :][None, :])
 
 
-def _bwd_kernel(x_ref, *rest, n_layers, precision):
-    nw = n_layers + 1
-    w_refs = rest[:nw]
-    b_refs = rest[nw:2 * nw]
-    g_ref = rest[2 * nw]
-    dx_ref = rest[2 * nw + 1]
-    dw_refs = rest[2 * nw + 2:3 * nw + 2]
-    db_refs = rest[3 * nw + 2:4 * nw + 2]
-
+def _bwd_kernel(x_ref, ws_ref, bs_ref, g_ref, dx_ref, dws_ref, dbs_ref, *,
+                n_layers, precision):
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        for r in list(dw_refs) + list(db_refs):
-            r[:, :] = jnp.zeros_like(r)
+        dws_ref[:, :] = jnp.zeros_like(dws_ref)
+        dbs_ref[:, :] = jnp.zeros_like(dbs_ref)
 
     # recompute the forward chain (activations stay in VMEM)
     hs = [x_ref[:, :]]
     zs = []
     h = hs[0]
     for i in range(n_layers):
-        z = _dot(h, w_refs[i][:, :], precision) + b_refs[i][:, :]
+        z = _dot(h, _w(ws_ref, i), precision) + bs_ref[i, :][None, :]
         zs.append(z)
         h = _snake(z)
         hs.append(h)
 
     g = g_ref[:, :]
-    dw_refs[-1][:, :] += _dot_tn(hs[-1], g, precision)
-    db_refs[-1][:, :] += jnp.sum(g, axis=0, keepdims=True)
-    dh = _dot_nt(g, w_refs[-1][:, :], precision)
+    nw = n_layers + 1
+    dws_ref[n_layers * LANE:nw * LANE, :] += _dot_tn(hs[-1], g, precision)
+    dbs_ref[n_layers, :] += jnp.sum(g, axis=0)
+    dh = _dot_nt(g, _w(ws_ref, n_layers), precision)
     for i in range(n_layers - 1, -1, -1):
         dz = dh * _snake_grad(zs[i])
-        dw_refs[i][:, :] += _dot_tn(hs[i], dz, precision)
-        db_refs[i][:, :] += jnp.sum(dz, axis=0, keepdims=True)
-        dh = _dot_nt(dz, w_refs[i][:, :], precision)
+        dws_ref[i * LANE:(i + 1) * LANE, :] += _dot_tn(hs[i], dz, precision)
+        dbs_ref[i, :] += jnp.sum(dz, axis=0)
+        dh = _dot_nt(dz, _w(ws_ref, i), precision)
     dx_ref[:, :] = dh
 
 
-def _call(kernel, xp, wp, bp, static, extra_in=(), extra_specs=(),
+def _call(kernel, xp, ws, bs, static, extra_in=(), extra_specs=(),
           out_specs=None, out_shape=None):
     (block_n, n_layers, precision, interpret) = static
     n = xp.shape[0]
+    nw = n_layers + 1
     row = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((block_n, LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    in_specs = [blk]
-    in_specs += [row((LANE, LANE))] * (n_layers + 1)
-    in_specs += [row((1, LANE))] * (n_layers + 1)
+    in_specs = [blk, row((nw * LANE, LANE)), row((nw, LANE))]
     in_specs += list(extra_specs)
     return pl.pallas_call(
         functools.partial(kernel, n_layers=n_layers, precision=precision),
@@ -153,7 +156,7 @@ def _call(kernel, xp, wp, bp, static, extra_in=(), extra_specs=(),
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(xp, *wp, *bp, *extra_in)
+    )(xp, ws, bs, *extra_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -162,35 +165,33 @@ def _mlp(xp, wp, bp, static, n_layers):
     return out
 
 
-def _mlp_fwd(xp, wp, bp, static, n_layers):
+def _mlp_fwd(xp, ws, bs, static, n_layers):
     (block_n, _nl, precision, interpret) = static
     n = xp.shape[0]
-    out = _call(_fwd_kernel, xp, wp, bp, static,
+    out = _call(_fwd_kernel, xp, ws, bs, static,
                 out_specs=pl.BlockSpec((block_n, LANE), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((n, LANE), jnp.float32))
-    return out, (xp, wp, bp)
+    return out, (xp, ws, bs)
 
 
 def _mlp_bwd(static, n_layers, res, g):
     (block_n, _nl, precision, interpret) = static
-    xp, wp, bp = res
+    xp, ws, bs = res
     n = xp.shape[0]
     nw = n_layers + 1
     row = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((block_n, LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    out_specs = ([blk] + [row((LANE, LANE))] * nw + [row((1, LANE))] * nw)
-    out_shape = ([jax.ShapeDtypeStruct((n, LANE), jnp.float32)]
-                 + [jax.ShapeDtypeStruct((LANE, LANE), jnp.float32)] * nw
-                 + [jax.ShapeDtypeStruct((1, LANE), jnp.float32)] * nw)
-    outs = _call(_bwd_kernel, xp, wp, bp, static,
+    out_specs = [blk, row((nw * LANE, LANE)), row((nw, LANE))]
+    out_shape = [jax.ShapeDtypeStruct((n, LANE), jnp.float32),
+                 jax.ShapeDtypeStruct((nw * LANE, LANE), jnp.float32),
+                 jax.ShapeDtypeStruct((nw, LANE), jnp.float32)]
+    outs = _call(_bwd_kernel, xp, ws, bs, static,
                  extra_in=(g,), extra_specs=(blk,),
                  out_specs=out_specs, out_shape=out_shape)
-    dx = outs[0]
-    dws = tuple(outs[1:1 + nw])
-    dbs = tuple(outs[1 + nw:1 + 2 * nw])
+    dx, dws, dbs = outs
     return dx, dws, dbs
 
 
@@ -216,10 +217,10 @@ def mlp_apply_pallas(weights: Sequence[jax.Array], biases: Sequence[jax.Array],
 
     n_pad = _round_up(max(n, block_n), block_n)
     xp = jnp.pad(x, ((0, n_pad - n), (0, LANE - d_in)))
-    wp = tuple(jnp.pad(w, ((0, LANE - w.shape[0]), (0, LANE - w.shape[1])))
-               for w in weights)
-    bp = tuple(jnp.pad(b[None, :], ((0, 0), (0, LANE - b.shape[-1])))
-               for b in biases)
+    ws = jnp.concatenate(
+        [jnp.pad(w, ((0, LANE - w.shape[0]), (0, LANE - w.shape[1])))
+         for w in weights], axis=0)                    # (nw*LANE, LANE)
+    bs = jnp.stack([jnp.pad(b, (0, LANE - b.shape[-1])) for b in biases])
     static = (block_n, n_layers, precision, interpret)
-    out = _mlp(xp, wp, bp, static, n_layers)
+    out = _mlp(xp, ws, bs, static, n_layers)
     return out[:n, :d_out]

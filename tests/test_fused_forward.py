@@ -103,5 +103,9 @@ def test_apply_model_fused_backend_matches_xla():
         out_f = apply_model(spec_f, params, coords, train=False)
     finally:
         FF.fused_forward = orig
+    # apply_model selects precision='mixed' (single-pass bf16 MLP, the XLA
+    # path's effective TPU default); the CPU reference here is true f32, so
+    # the bound is bf16-matmul noise, not kernel error (the 'f32' kernel
+    # mode is held to 5e-5 in the direct parity tests above)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
-                               atol=5e-5, rtol=1e-4)
+                               atol=2e-3, rtol=1e-2)
