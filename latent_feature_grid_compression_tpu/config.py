@@ -61,6 +61,8 @@ class TrainConfig:
     steps_per_chunk: int = 200      # scanned steps per device dispatch
     mesh_data: int = 1              # data-parallel mesh axis size
     mesh_space: int = 1             # volume-sharding mesh axis size
+    mesh_shard_params: int = 0      # 1: shard model/optimizer state over
+                                    # 'space' (ZeRO-style grid-tile sharding)
     compute_dtype: str = 'float32'
     interp_backend: str = 'auto'    # 'auto' | 'xla' | 'pallas' | 'pallas_bf16'
     rng_impl: str = 'rbg'           # 'rbg' (TPU-hardware bit generator) |

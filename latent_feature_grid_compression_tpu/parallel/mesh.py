@@ -27,7 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..train.trainer import (PhaseSpec, TrainState, ShardCtx, _scan_chunk)
+from jax.flatten_util import ravel_pytree
+
+from ..train.trainer import (PhaseSpec, TrainState, ShardCtx, ZeroCtx,
+                             _scan_chunk)
 
 
 def make_mesh(data: int = 0, space: int = 1, devices=None) -> Mesh:
@@ -114,6 +117,104 @@ def make_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
     def run(state: TrainState, volume: jax.Array):
         st, metrics = sharded(state, volume)
         # one-fetch protocol of trainer.make_chunk_runner (see there)
+        metrics = dict(metrics)
+        metrics['_stop'] = st.stop
+        metrics['_step'] = st.step
+        return st, metrics
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-style sharding of MODEL STATE over 'space' (SURVEY §2.3/§7 north star)
+# ---------------------------------------------------------------------------
+
+def shard_train_state(mesh: Mesh, state: TrainState,
+                      axis: str = 'space') -> Tuple[TrainState, ZeroCtx]:
+    """Shard the trainable state over a mesh axis (grid-tile/ZeRO sharding).
+
+    The flat trainable vector — wavelet coefficient pyramid, gate params, MLP
+    and (if present) the variance model, in ravel_pytree order — plus both
+    Adam moment vectors are zero-padded to a multiple of the axis size and
+    placed with ``PartitionSpec(axis)``; every other leaf stays replicated.
+    Per-device parameter+optimizer memory drops to ~3P/axis_size floats (vs
+    3P replicated); the reference has no analogue (single device,
+    training/training.py:15).
+
+    Returns the sharded state (params := padded flat vector, var_params
+    folded in / None) and the :class:`ZeroCtx` needed to run and unshard it.
+    """
+    n_shards = mesh.shape[axis]
+    flat, unravel = ravel_pytree((state.params, state.var_params))
+    n = flat.shape[0]
+    padded = -(-n // n_shards) * n_shards
+    pad = padded - n
+
+    def _pad(vec):
+        return jnp.pad(vec, (0, pad)) if pad else vec
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    zstate = state.replace(
+        params=_put_global(_pad(flat), shard),
+        var_params=None,
+        m=_put_global(_pad(state.m), shard),
+        v=_put_global(_pad(state.v), shard),
+    )
+    zstate = zstate.replace(
+        step=_put_global(zstate.step, repl), lr=_put_global(zstate.lr, repl),
+        shadow_lr=_put_global(zstate.shadow_lr, repl),
+        last_loss=_put_global(zstate.last_loss, repl),
+        no_gain=_put_global(zstate.no_gain, repl),
+        stop=_put_global(zstate.stop, repl),
+        weight_dkl=_put_global(zstate.weight_dkl, repl),
+        gate_aux=jax.tree.map(lambda a: _put_global(a, repl), zstate.gate_aux),
+        key=_put_global(zstate.key, repl))
+    return zstate, ZeroCtx(axis=axis, unravel=unravel, n_params=n)
+
+
+def unshard_train_state(zstate: TrainState, zc: ZeroCtx) -> TrainState:
+    """Inverse of :func:`shard_train_state`: back to a replicated pytree state.
+
+    The sharded leaves are global arrays, so this is just an unravel of the
+    first n_params entries (one gather per leaf on fetch)."""
+    flat = jnp.asarray(zstate.params)[:zc.n_params]
+    params, var_params = zc.unravel(flat)
+    return zstate.replace(params=params, var_params=var_params,
+                          m=zstate.m[:zc.n_params], v=zstate.v[:zc.n_params])
+
+
+def make_zero_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
+                                   steps_per_chunk: int, zc: ZeroCtx,
+                                   use_space: bool = True):
+    """jit(shard_map(scan(step))) with MODEL STATE sharded over 'space'.
+
+    Same data path as :func:`make_sharded_chunk_runner` (positions
+    data-parallel, GT volume x-slab-sharded), but state.params/m/v enter as
+    per-device shards; the step all_gathers params once over ICI and
+    reduce-scatters the gradient (see trainer.ZeroCtx).  State must come from
+    :func:`shard_train_state`.
+    """
+    sc = make_shard_ctx(mesh, use_space)
+    vol_spec = P('space') if sc.space_axis else P()
+
+    def chunk_body(state: TrainState, volume: jax.Array):
+        return _scan_chunk(ph, masks, sc, steps_per_chunk, state, volume,
+                           zero_ctx=zc)
+
+    state_spec = TrainState(
+        params=P(zc.axis), var_params=P(), m=P(zc.axis), v=P(zc.axis),
+        step=P(), lr=P(), shadow_lr=P(), last_loss=P(), no_gain=P(),
+        stop=P(), weight_dkl=P(), gate_aux=P(), key=P())
+    sharded = jax.shard_map(
+        chunk_body, mesh=mesh,
+        in_specs=(state_spec, vol_spec),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+
+    def run(state: TrainState, volume: jax.Array):
+        st, metrics = sharded(state, volume)
         metrics = dict(metrics)
         metrics['_stop'] = st.stop
         metrics['_step'] = st.step

@@ -176,7 +176,8 @@ def training(cfg: TrainConfig, verbose: bool = True,
             print(f"Resuming phase {resume_phase} from {resume_dir}")
 
     solve_kw = dict(writer=writer, verbose=verbose, mesh=mesh,
-                    use_space=use_space, timer=timer)
+                    use_space=use_space, timer=timer,
+                    shard_params=bool(cfg.mesh_shard_params) and mesh is not None)
 
     # --- phase 1: gated training (training/training.py:221-226) ------------
     ph1 = make_phase_spec(cfg, spec, meta, phase=1)

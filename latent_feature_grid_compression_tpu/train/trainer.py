@@ -140,6 +140,33 @@ def _adam_update(params, grads, m, v, t, lr, **kw):
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass(frozen=True)
+class ZeroCtx:
+    """Model-state sharding context (ZeRO-style grid-tile sharding).
+
+    Green-field design (SURVEY.md §2.3 north star — the reference has no
+    distributed state of any kind): the FLAT trainable vector (wavelet
+    coefficient pyramid + gate params + MLP + variance model, the same layout
+    ravel_pytree produces) and both Adam moment vectors are sharded over the
+    mesh axis ``axis``; every other TrainState leaf stays replicated.  Each
+    step the params are materialized with ONE tiled ``all_gather`` over ICI
+    (the decode math couples every coefficient to its neighbourhood, so the
+    gather is what the math requires), the gradient comes back via
+    ``psum_scatter`` (reduce-scatter — each device only ever reduces the
+    slice it owns, replacing the replicated path's all-reduce at identical
+    communication volume but 1/axis_size the optimizer/parameter memory),
+    and Adam updates only the local shard.
+
+    unravel: host closure mapping the UNPADDED flat vector back to the
+      (ModelParams, var_params) pytree pair.
+    n_params: unpadded flat length; entries beyond it are zero padding so the
+      vector divides the axis (their grads/moments stay exactly 0).
+    """
+    axis: str
+    unravel: Any
+    n_params: int
+
+
+@dataclasses.dataclass(frozen=True)
 class ShardCtx:
     """Multi-chip sharding context for the train step (used under shard_map).
 
@@ -158,7 +185,8 @@ class ShardCtx:
 
 
 def _make_step_parts(ph: PhaseSpec, masks,
-                     shard_ctx: Optional[ShardCtx] = None):
+                     shard_ctx: Optional[ShardCtx] = None,
+                     zero_ctx: Optional[ZeroCtx] = None):
     """Build (sample_chunk, step_fn, idle_fn) for the scanned train loop.
 
     ``masks`` (tuple of arrays or None) is closed over; they are constants
@@ -175,8 +203,16 @@ def _make_step_parts(ph: PhaseSpec, masks,
     With ``shard_ctx`` the functions must run inside shard_map: positions
     are sampled per-device (key folded with the device's linear mesh index),
     gradients and metrics are psum-averaged over the mesh axes, and the
-    parameter update is computed identically on every device."""
+    parameter update is computed identically on every device.
+
+    With ``zero_ctx`` (requires shard_ctx) the step additionally runs in
+    sharded-model-state mode: state.params is the LOCAL shard of the padded
+    flat trainable vector (var_params folded in, see :class:`ZeroCtx`),
+    state.m/state.v are the matching local moment shards."""
     spec = ph.spec
+    zc = zero_ctx
+    assert zc is None or shard_ctx is not None, \
+        "zero_ctx requires running under shard_map (shard_ctx)"
     res = np.asarray(ph.resolution, dtype=np.int32)
     max_idx = (res - 1).astype(np.float32)
     scales = max_idx / max_idx.max()
@@ -239,7 +275,7 @@ def _make_step_parts(ph: PhaseSpec, masks,
             # Adam needs no ravel, and under shard_map the gradient pmean is
             # a single all-reduce instead of ~40 small ones.  The unravel
             # slices fuse into their consumers.
-            params, var_params = unravel(flat)
+            params, var_params = unflatten(flat)
             pred = apply_model(spec, params, norm, train=True,
                                train_gates=train_gates, rng=k_gate,
                                masks=masks if ph.use_masks else None)
@@ -270,25 +306,50 @@ def _make_step_parts(ph: PhaseSpec, masks,
                        'Weight_loss': jnp.zeros_like(loss)}
             return loss, aux
 
-        flat0, unravel = ravel_pytree((state.params, state.var_params))
+        if zc is None:
+            flat0, _unravel = ravel_pytree((state.params, state.var_params))
+            unflatten = _unravel
+        else:
+            # ZeRO mode: materialize the full padded flat vector from the
+            # per-device shards with one tiled all_gather over the shard axis
+            flat0 = jax.lax.all_gather(state.params, zc.axis, tiled=True)
+            unflatten = lambda flat: zc.unravel(flat[:zc.n_params])  # noqa: E731
+
         (loss, aux), g_flat = jax.value_and_grad(loss_fn, has_aux=True)(flat0)
         if sc is not None:
-            # average over the mesh: every device then applies the identical
-            # global update (replicated params stay bitwise in sync)
-            g_flat = _pmean(g_flat)
             loss = _pmean(loss)
             aux = _pmean(aux)
 
         t = state.step + 1
-        flat_new, m, v = _adam_update_flat(flat0, g_flat, state.m, state.v,
-                                           t.astype(jnp.float32), state.lr)
-        params, var_params = unravel(flat_new)
+        if zc is not None:
+            # reduce-scatter instead of all-reduce: mean over the pure-data
+            # axes, then psum_scatter over the shard axis hands each device
+            # exactly the gradient slice for the parameters it owns
+            data_axes = tuple(a for a in sc.axis_names if a != zc.axis)
+            if data_axes:
+                g_flat = jax.lax.pmean(g_flat, data_axes)
+            g_local = (jax.lax.psum_scatter(g_flat, zc.axis, tiled=True)
+                       / jax.lax.axis_size(zc.axis))
+            flat_new, m, v = _adam_update_flat(
+                state.params, g_local, state.m, state.v,
+                t.astype(jnp.float32), state.lr)
+            params, var_params = flat_new, state.var_params
+        else:
+            if sc is not None:
+                # average over the mesh: every device then applies the
+                # identical global update (replicated params stay in sync)
+                g_flat = _pmean(g_flat)
+            flat_new, m, v = _adam_update_flat(flat0, g_flat, state.m, state.v,
+                                               t.astype(jnp.float32), state.lr)
+            params, var_params = unflatten(flat_new)
 
         # --- Smallify EMA sign-variance tracking (on-device) --------------
         gate_aux = state.gate_aux
         if ph.drop_type == 'smallify' and train_gates:
+            old_gates = (state.params.gates if zc is None
+                         else unflatten(flat0)[0].gates)
             gate_aux = G.smallify_update_tracker(
-                gate_aux, state.params.gates, spec.drop_momentum)
+                gate_aux, old_gates, spec.drop_momentum)
 
         # --- volume-pass accounting + lr strategy --------------------------
         # NOTE: uses the *global* batch (ph.batch_n): under shard_map each
@@ -383,9 +444,11 @@ def make_train_step(ph: PhaseSpec, masks,
 
 
 def _scan_chunk(ph: PhaseSpec, masks, shard_ctx, steps_per_chunk: int,
-                state: TrainState, volume: jax.Array, *, unroll: int = 1):
+                state: TrainState, volume: jax.Array, *, unroll: int = 1,
+                zero_ctx: Optional[ZeroCtx] = None):
     """Hoist RNG for a whole chunk, then scan the guarded step over it."""
-    sample_chunk, step_fn, idle = _make_step_parts(ph, masks, shard_ctx)
+    sample_chunk, step_fn, idle = _make_step_parts(ph, masks, shard_ctx,
+                                                   zero_ctx)
     key, k_pos, k_gate = jax.random.split(state.key, 3)
     pos_all = sample_chunk(k_pos, steps_per_chunk)
     gate_keys = jax.random.split(k_gate, steps_per_chunk)
@@ -471,24 +534,37 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
                 steps_per_chunk: int, masks=None, writer=None,
                 metric_cb=None, verbose: bool = True, mesh=None,
                 use_space: bool = True, profile_dir: str = '',
-                timer=None, state_save_path: str = '') -> TrainState:
+                timer=None, state_save_path: str = '',
+                shard_params: bool = False) -> TrainState:
     """Run one phase until its pass budget is exhausted or early stop.
 
     mesh:            run under shard_map over a ('data','space') Mesh —
-                     state replicated, volume x-slab-sharded over 'space'
-                     (green-field multi-chip design; SURVEY.md §2.3).
+                     volume x-slab-sharded over 'space' (green-field
+                     multi-chip design; SURVEY.md §2.3).
+    shard_params:    with a mesh, additionally shard the model/optimizer
+                     state over 'space' (ZeRO-style grid-tile sharding, see
+                     parallel.mesh.shard_train_state); the returned state is
+                     gathered back to the usual replicated pytree.
     profile_dir:     capture a jax.profiler trace of the second (post-
                      compile) chunk dispatch.
     timer:           utils.profiling.StepTimer recording chunk wall-clock.
     state_save_path: mid-phase TrainState checkpoint, rewritten after every
                      chunk (atomic replace) so a killed run can --resume.
     """
+    zc = None
     if mesh is not None:
-        from ..parallel.mesh import (make_sharded_chunk_runner, replicate,
+        from ..parallel.mesh import (make_sharded_chunk_runner,
+                                     make_zero_sharded_chunk_runner,
+                                     replicate, shard_train_state,
                                      shard_volume)
-        run_chunk = make_sharded_chunk_runner(mesh, ph, masks,
-                                              steps_per_chunk, use_space)
-        state = replicate(mesh, state)
+        if shard_params:
+            state, zc = shard_train_state(mesh, state)
+            run_chunk = make_zero_sharded_chunk_runner(
+                mesh, ph, masks, steps_per_chunk, zc, use_space)
+        else:
+            run_chunk = make_sharded_chunk_runner(mesh, ph, masks,
+                                                  steps_per_chunk, use_space)
+            state = replicate(mesh, state)
         volume = shard_volume(mesh, volume, use_space)
     else:
         run_chunk = make_chunk_runner(ph, masks, steps_per_chunk)
@@ -502,6 +578,14 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
     last_save = _time.monotonic()
     last_hist = -float('inf')
 
+    def _restore(st):
+        """Zero-sharded states go back to the replicated pytree layout for
+        host-side consumers (checkpointing, histograms, the caller)."""
+        if zc is None:
+            return st
+        from ..parallel.mesh import unshard_train_state
+        return unshard_train_state(st, zc)
+
     def _process(entry):
         """Fetch + handle one finished chunk's results (ONE device fetch)."""
         nonlocal last_save, last_hist
@@ -513,14 +597,14 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
         # fetch would dominate short chunks on remote-TPU links
         if state_save_path and (stop_now
                                 or _time.monotonic() - last_save > 60.0):
-            _atomic_save_state(state_save_path, st)
+            _atomic_save_state(state_save_path, _restore(st))
             last_save = _time.monotonic()
         if writer is not None or metric_cb is not None or verbose:
             _emit_metrics(ms, s0, variational, writer, metric_cb, verbose, ph)
         # histograms pull gate tensors to the host: throttle like the saves
         if variational and writer is not None and (
                 stop_now or _time.monotonic() - last_hist > 30.0):
-            _emit_droprate_histograms(writer, ph, st, true_step)
+            _emit_droprate_histograms(writer, ph, _restore(st), true_step)
             last_hist = _time.monotonic()
         return stop_now
 
@@ -565,6 +649,7 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
             chunk_idx += 1
         while futures:
             stopped = futures.popleft().result() or stopped
+    state = _restore(state)
     if state_save_path:   # final state always lands on disk
         _atomic_save_state(state_save_path, state)
     return state

@@ -68,13 +68,23 @@ def jax_gate_noise_stream(k_train_phase, steps_per_chunk, shapes,
 
 class TorchMirror:
     """Differentiable torch twin of (spec, params): dense, smallify,
-    masked_straight_through, or static_variational gates."""
+    masked_straight_through, static_variational or dynamic_variational
+    gates (the latter with the jointly-trained Variance_Model,
+    Variational_Dropout_Layer.py:159-175)."""
 
-    def __init__(self, spec, params, variational_sigma=-7.0):
+    def __init__(self, spec, params, variational_sigma=-7.0,
+                 var_params=None):
         t = lambda a: torch.from_numpy(np.asarray(a)).clone()
         self.spec = spec
         self.drop_type = spec.drop_type
         self.variational_sigma = variational_sigma
+        # dynamic-variational variance model (transplanted from the jax init
+        # so both sides start identical; reference training/training.py:80-84
+        # adds its params to the same Adam)
+        self.var_ws = self.var_bs = None
+        if var_params is not None:
+            self.var_ws = [t(w).requires_grad_(True) for w in var_params['w']]
+            self.var_bs = [t(b).requires_grad_(True) for b in var_params['b']]
         self.coeffs = [t(c).requires_grad_(True) for c in params.coeffs]
         self.ws = [t(w).requires_grad_(True) for w in params.mlp_w]
         self.bs = [t(b).requires_grad_(True) for b in params.mlp_b]
@@ -96,7 +106,7 @@ class TorchMirror:
         elif spec.drop_type == 'masked_straight_through':
             self.mask_values = [t(m).requires_grad_(True)
                                 for m in params.gates.mask_values]
-        elif spec.drop_type == 'static_variational':
+        elif 'variational' in spec.drop_type:
             self.log_thetas = [t(x).requires_grad_(True)
                                for x in params.gates.log_thetas]
             self.log_var = [t(x).requires_grad_(True)
@@ -109,13 +119,29 @@ class TorchMirror:
     def variational(self):
         return self.drop_type and 'variational' in self.drop_type
 
+    @property
+    def dynamic(self):
+        return self.variational and 'dynamic' in self.drop_type
+
     def parameters(self):
         ps = self.coeffs + self.ws + self.bs
         for extra in (self.betas, self.mask_values, self.log_thetas,
                       self.log_var):
             if extra is not None:
                 ps = ps + extra
+        # reference adds the Variance_Model to the same optimizer in phase 1
+        # (training/training.py:80-84); in phase 2 it gets no grads (the loss
+        # is plain MSE) so torch Adam leaves it untouched — same as jax
+        if self.dynamic and self.var_ws is not None:
+            ps = ps + self.var_ws + self.var_bs
         return ps
+
+    def forward_variance(self, x: torch.Tensor) -> torch.Tensor:
+        """Variance_Model.forward (Variational_Dropout_Layer.py:170-175):
+        ReLU after every hidden layer, linear head."""
+        for w, b in zip(self.var_ws[:-1], self.var_bs[:-1]):
+            x = torch.relu(x @ w + b)
+        return x @ self.var_ws[-1] + self.var_bs[-1]
 
     def dkl_sum(self):
         """sum of per-level Molchanov KL (Variational_Dropout_Layer.py:115-122)."""
@@ -335,7 +361,13 @@ def solve_model_torch(mirror: TorchMirror, optimizer, volume: torch.Tensor,
                     mirror.weight_dkl = mirror.weight_dkl * (
                         1.0 + cfg.weight_dkl_multiplier)
                 batch_scale = n_voxels / batch_n
-                log_sigma = torch.full_like(pred, mirror.variational_sigma)
+                if mirror.dynamic:
+                    # per-sample log-sigma from the jointly-trained
+                    # Variance_Model (training/training.py:117-121)
+                    log_sigma = mirror.forward_variance(norm)[:, 0]
+                else:
+                    log_sigma = torch.full_like(pred,
+                                                mirror.variational_sigma)
                 sq = (gt - pred) ** 2
                 sigma = torch.exp(log_sigma)
                 a = 1.0 / (2.0 * sigma * sigma)
@@ -373,14 +405,16 @@ def solve_model_torch(mirror: TorchMirror, optimizer, volume: torch.Tensor,
 
 def training_torch(spec, params, volume_np: np.ndarray, cfg,
                    seed: int = 0, verbose: bool = False,
-                   pos_streams=(None, None), noise_stream=None):
+                   pos_streams=(None, None), noise_stream=None,
+                   var_params=None):
     """Two-phase reference training (training/training.py:184-243) on the
     torch mirror; returns (psnr, zeros)."""
     torch.manual_seed(seed)
     gen = torch.Generator().manual_seed(seed + 1)
     mirror = TorchMirror(spec, params,
                          variational_sigma=getattr(cfg, 'variational_sigma',
-                                                   -7.0))
+                                                   -7.0),
+                         var_params=var_params)
     mirror.weight_dkl = cfg.lambda_drop_loss
     volume = torch.from_numpy(volume_np)
 
