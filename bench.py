@@ -161,6 +161,20 @@ def main():
     step_time = dt / steps
     assert np.isfinite(float(m['loss'][-1]))
 
+    # --- eval/reconstruction path (VERDICT r4 #7): full-volume PSNR eval,
+    # the product surface behind infer.py and every training run's final
+    # evaluation (reference visualization/OutputToVTK.py:7-47 tile loop) ----
+    from latent_feature_grid_compression_tpu.eval.reconstruct import (
+        field_from_net)
+    eval_spec = make_spec(grid_size=cfg.grid_size,
+                          grid_features=cfg.grid_features,
+                          hidden=cfg.n_hidden_size, num_layers=cfg.n_layers)
+    _ = field_from_net(eval_spec, state.params.replace(gates=None), meta)
+    t0 = time.perf_counter()
+    _ = field_from_net(eval_spec, state.params.replace(gates=None), meta)
+    eval_dt = time.perf_counter() - t0
+    eval_rate = meta.n_voxels / eval_dt
+
     algo, mxu, hbm = _flagship_counts(N=ph.batch_n, C=cfg.grid_features,
                                       G=cfg.grid_size, Z=vol.shape[2])
     mxu_time = mxu / PEAK_FLOPS
@@ -179,6 +193,8 @@ def main():
         'hbm_frac': round(hbm_time / step_time, 4),
         'pct_roofline': round(pct_roofline, 4),
         'bound': bound,
+        'eval_samples_per_sec': round(eval_rate, 1),
+        'eval_full_volume_ms': round(eval_dt * 1e3, 1),
     }
     print(json.dumps(out))
 

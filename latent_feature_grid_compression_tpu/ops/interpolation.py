@@ -115,6 +115,25 @@ def trilinear_interpolate(volume: jax.Array, points: jax.Array,
     return bz * y_z0 + az * y_z1
 
 
+def gather_rows(vol2d: jax.Array, y_size: int,
+                int_points: jax.Array) -> jax.Array:
+    """Z-row gather + lane select on a pre-flattened (X*Y, Z) volume.
+
+    NOTE the reshape placement is perf-sensitive and counter-intuitive
+    (measured r5, full-step A/B on v5e): reshaping INSIDE the scanned step
+    (a fresh ~89 us copy every step) is the fastest formulation — gathering
+    from the loop-invariant HBM buffer instead costs 308 us vs 91 us from
+    the fresh copy, and direct 3-D indexing is slower still
+    (1.370 / 1.478 / 1.536 ms/step).  Callers should pass the 3-D volume
+    through and reshape at the gather site.
+    """
+    Z = vol2d.shape[1]
+    rows = vol2d[int_points[:, 0] * y_size + int_points[:, 1]]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, Z), 1)
+           == int_points[:, 2][:, None])
+    return jnp.sum(jnp.where(sel, rows, 0.0), axis=1)
+
+
 def gather_volume(volume: jax.Array, int_points: jax.Array) -> jax.Array:
     """Exact voxel fetch for integer lattice points.
 
@@ -130,10 +149,7 @@ def gather_volume(volume: jax.Array, int_points: jax.Array) -> jax.Array:
     for 32k points on a 255^3 volume).
     """
     X, Y, Z = volume.shape
-    rows = volume.reshape(X * Y, Z)[int_points[:, 0] * Y + int_points[:, 1]]
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, Z), 1)
-           == int_points[:, 2][:, None])
-    return jnp.sum(jnp.where(sel, rows, 0.0), axis=1)
+    return gather_rows(volume.reshape(X * Y, Z), Y, int_points)
 
 
 def generate_regular_grid_interpolator(volume):

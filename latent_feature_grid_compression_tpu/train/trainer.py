@@ -40,7 +40,7 @@ from ..data.volume import VolumeMeta
 from ..models import gates as G
 from ..models.feature_grid import (ModelSpec, ModelParams, apply_model)
 from ..models.variance import apply_variance_model
-from ..ops.interpolation import gather_volume
+from ..ops.interpolation import gather_rows
 from . import losses as L
 
 
@@ -261,7 +261,15 @@ def _make_step_parts(ph: PhaseSpec, masks,
         norm = (gpos.astype(jnp.float32) / max_idx[None]) * 2.0 - 1.0
         norm = norm * scales[None]
 
-        gt = gather_volume(volume, pos)                            # exact fetch
+        # Exact GT fetch.  The in-step (X,Y,Z)->(X*Y,Z) reshape looks like a
+        # hoistable 89 us/step copy, but it is load-bearing: r5 full-step A/B
+        # measured reshape-in-step 1.370 ms/step vs reshape-hoisted-
+        # out-of-scan 1.478 (the gather from the loop-invariant HBM buffer
+        # costs 308 us vs 91 from the fresh S(1) copy) and direct-3D
+        # indexing 1.536.  Keep the copy; see BENCH_NOTES r5.
+        v3 = (volume if volume.ndim == 3
+              else volume.reshape(tuple(int(r) for r in res)))
+        gt = gather_rows(v3.reshape(-1, v3.shape[-1]), int(res[1]), pos)
 
         weight_dkl = state.weight_dkl
         if ph.variational and train_gates:
