@@ -24,11 +24,15 @@ def main():
     p.add_argument('--trials', type=int, default=12)
     p.add_argument('--parallelism', type=int, default=3)
     p.add_argument('--basedir', default='/experiments/NAS/')
+    p.add_argument('--max_pass', type=int, default=0,
+                   help='override max_pass for every trial (0 = config value)')
     args = p.parse_args()
 
+    overrides = {'max_pass': args.max_pass} if args.max_pass else None
     trials = run_search(args.config, drop_type=args.drop_type,
                         total_trials=args.trials,
-                        parallelism=args.parallelism, basedir=args.basedir)
+                        parallelism=args.parallelism, basedir=args.basedir,
+                        extra_overrides=overrides)
 
     done = [t for t in trials if t.objective is not None]
     if done:

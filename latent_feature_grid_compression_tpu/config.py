@@ -63,6 +63,9 @@ class TrainConfig:
     mesh_space: int = 1             # volume-sharding mesh axis size
     mesh_shard_params: int = 0      # 1: shard model/optimizer state over
                                     # 'space' (ZeRO-style grid-tile sharding)
+    mesh_local_decode: int = 0      # 1: each device decodes only its grid
+                                    # x-tile (+halo) — requires mesh_space>1
+                                    # and the xla interp backend
     compute_dtype: str = 'float32'
     interp_backend: str = 'auto'    # 'auto' | 'xla' | 'pallas' | 'pallas_bf16'
     rng_impl: str = 'rbg'           # 'rbg' (TPU-hardware bit generator) |

@@ -91,20 +91,27 @@ class ModelParams:
 def resolve_interp_backend(backend: str, grid_size: int) -> str:
     """Resolve 'auto' to the fastest correct backend for this platform.
 
-    'auto' picks winners by MEASUREMENT (examples/bench_step_backends.py on
-    one v5e chip, flagship train step, grid 16x15^3 / batch 32768; ms/step
-    with the conv-era decode — the matmul DWT decode later cut the winning
-    configuration to 1.28 ms/step / 25.6 Ms/s, same backend ranking):
+    'auto' picks winners by MEASUREMENT.  Full flagship train step (smallify,
+    255^3 volume, batch 32768, 4x32 MLP), one v5e chip, ms/step at every
+    NAS-reachable grid size (examples/bench_interp_crossover.py, r5 —
+    VERDICT r4 #6; NAS spaces span 4..62, nas/search.py):
 
-        pallas 2.11 ms/step (15.6 Ms/s)   <- auto on TPU, small grids
-        fused  3.67 ms/step ( 8.9 Ms/s)   <- opt-in only until it wins
-        xla    4.03 ms/step ( 8.1 Ms/s)   <- auto everywhere else
+        grid   xla     pallas    winner
+           8   3.080    1.051    pallas
+          15   3.269    1.346    pallas      <- flagship shape
+          16   3.293    1.360    pallas
+          24   3.517    2.442    pallas
+          32   4.276   36.372    xla   (one-hot weight tile spills VMEM)
+          48   5.553    7.444    xla
+          62   9.149   13.373    xla
 
-    The Pallas one-hot-matmul kernel materializes a (block_n, M) weight tile
-    in VMEM, so it only wins while M = grid_size^3 keeps the tile a few MB;
-    beyond that the XLA gather path is faster (its cost is O(N), not O(N*M)).
-    Measured crossover on v5e: well past 16^3; NAS configs reach 62^3 where
-    the matmul formulation is infeasible.
+    The Pallas one-hot-matmul kernel materializes a (block_n, M = HW x DC)
+    weight tile in VMEM, so it wins while the tile stays a few MB and loses
+    catastrophically once it spills (32^3); the XLA gather path is O(N) in
+    samples.  Measured boundary: pallas through 24^3, xla from 32^3.  Sizes
+    25..31 are NAS-reachable but unmeasured; the cutoff stays at 24 because
+    mispicking xla there costs at most ~1.4x (the 24-size margin) while
+    mispicking pallas past the VMEM spill costs 8.5x (the 32-size loss).
     """
     if backend != 'auto':
         if backend not in ('xla', 'pallas', 'pallas_bf16', 'fused'):
@@ -114,7 +121,7 @@ def resolve_interp_backend(backend: str, grid_size: int) -> str:
         return backend
     import jax
     on_tpu = jax.default_backend() not in ('cpu', 'gpu')
-    return 'pallas' if (on_tpu and grid_size ** 3 <= 8192) else 'xla'
+    return 'pallas' if (on_tpu and grid_size <= 24) else 'xla'
 
 
 def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
@@ -200,7 +207,8 @@ def init_model(key: jax.Array, spec: ModelSpec):
 def decode_volume(spec: ModelSpec, params: ModelParams, *,
                   train_gates: bool = False,
                   rng: Optional[jax.Array] = None,
-                  masks: Optional[Tuple[jax.Array, ...]] = None) -> jax.Array:
+                  masks: Optional[Tuple[jax.Array, ...]] = None,
+                  x_window=None) -> jax.Array:
     """Gated inverse DWT -> (F, G, G, G) spatial feature grid.
 
     Reference Feature_Grid_Model.py:102-108.  Gating modes:
@@ -208,6 +216,11 @@ def decode_volume(spec: ModelSpec, params: ModelParams, *,
       masks is not None: multiply by frozen binary masks (post-bake phase,
                          the d_mask path of the reference gates)
       neither          : identity (dense model / after remove_drop_layers)
+
+    x_window: optional (start, length) — decode only that window of the
+    grid's LAST spatial axis (the axis sample coordinate 0 indexes; used by
+    the space-sharded train step to decode each device's grid tile locally,
+    see ops/dwt.decode_pyramid).
     """
     coeffs = params.coeffs
     if train_gates and spec.drop_type:
@@ -219,7 +232,9 @@ def decode_volume(spec: ModelSpec, params: ModelParams, *,
             for i, c in enumerate(coeffs))
     elif masks is not None:
         coeffs = tuple(c * m[None] for c, m in zip(coeffs, masks))
-    return decode_pyramid(spec.filter(), list(coeffs), np.asarray(spec.level_shapes))
+    return decode_pyramid(spec.filter(), list(coeffs),
+                          np.asarray(spec.level_shapes),
+                          last_window=x_window)
 
 
 def _fused_eligible(spec: ModelSpec) -> bool:
@@ -234,12 +249,39 @@ def apply_model(spec: ModelSpec, params: ModelParams, coords: jax.Array, *,
                 train: bool = True,
                 train_gates: bool = False,
                 rng: Optional[jax.Array] = None,
-                masks: Optional[Tuple[jax.Array, ...]] = None) -> jax.Array:
+                masks: Optional[Tuple[jax.Array, ...]] = None,
+                x_window=None) -> jax.Array:
     """Full forward pass at (N, d_in) normalized coordinates -> (N, d_out).
 
     ``train=False`` additionally clamps to [-1, 1]
     (Feature_Grid_Model.py:77-78).
+
+    x_window: optional (start, length) grid-tile-local decode window on the
+    axis coords[:, 0] indexes — caller guarantees every sample's
+    interpolation support lies inside the window (the space-sharded trainer
+    derives it from the device's volume slab + a 1-cell halo).  XLA interp
+    backend only.
     """
+    if x_window is not None:
+        assert spec.interp_backend == 'xla', \
+            "x_window (tile-local decode) requires interp_backend='xla'"
+        grid = decode_volume(spec, params, train_gates=train_gates, rng=rng,
+                             masks=masks, x_window=x_window)
+        W = spec.grid_size
+        start, length = x_window
+        # re-express coordinate 0 in the window's normalized frame: pixel
+        # coordinate pix = ((c+1)*W - 1)/2 must equal ((c'+1)*r - 1)/2 + start
+        c0 = ((coords[:, 0] + 1.0) * W - 2.0 * jnp.asarray(start, coords.dtype)
+              ) / float(length) - 1.0
+        coords_local = jnp.concatenate(
+            [c0[:, None], coords[:, 1:]], axis=1)
+        feats = grid_sample_3d(grid, coords_local)
+        emb = fourier_embed(coords, spec.n_freqs)
+        x = jnp.concatenate([coords, emb, feats.astype(jnp.float32)], axis=-1)
+        out = mlp_apply(list(params.mlp_w), list(params.mlp_b), x, snake_alt)
+        if not train:
+            out = jnp.clip(out, -1.0, 1.0)
+        return out
     grid = decode_volume(spec, params, train_gates=train_gates, rng=rng,
                          masks=masks)
     bf16 = spec.compute_dtype == 'bfloat16'

@@ -116,16 +116,23 @@ class WaveletFilterNd:
         return y, np.asarray(spatial, dtype=int)
 
     # -- reverse ----------------------------------------------------------
-    def decode(self, coeffs: jax.Array, shape) -> jax.Array:
+    def decode(self, coeffs: jax.Array, shape, last_window=None) -> jax.Array:
         """Inverse DWT. coeffs: (B, C, 2**dim, *spatial'). shape: target spatial.
 
         Runs as ``dim`` small separable MXU matmuls (see
         :meth:`_decode_matmul`); the transposed-conv formulation is kept as
         :meth:`decode_conv` (the two are verified equal in tests/test_dwt.py
         and the matmul path's synthesis matrices are *constructed* from it).
+
+        last_window: optional (start, length) restricting the output along
+        the LAST spatial axis (grid-tile-local decode: because the synthesis
+        is a per-axis matmul, decoding a tile is just a column slice of that
+        axis' operator — no halo exchange; see decode_pyramid).  ``start``
+        may be a traced scalar; ``length`` must be static.
         """
         if self.dim in (1, 2, 3):
-            return self._decode_matmul(coeffs, shape)
+            return self._decode_matmul(coeffs, shape, last_window)
+        assert last_window is None
         return self.decode_conv(coeffs, shape)
 
     def decode_conv(self, coeffs: jax.Array, shape) -> jax.Array:
@@ -169,14 +176,23 @@ class WaveletFilterNd:
         f32 summation order."""
         return _synthesis_matrix_cached(self.wavelet, s_in, s_out)
 
-    def _decode_matmul(self, coeffs: jax.Array, shape) -> jax.Array:
+    def _decode_matmul(self, coeffs: jax.Array, shape,
+                       last_window=None) -> jax.Array:
         """Inverse DWT as ``dim`` separable contractions on the MXU.
 
         The synthesis is linear and separable: grouping the 2**dim subbands
         by their per-axis lo/hi bit (first spatial dim = MSB,
         Torch_Wavelet_Transform.py:44-53), each axis is one einsum with the
         stacked (2, s_in, s_out) operator — three tiny matmuls instead of a
-        channel-starved 3-D transposed conv."""
+        channel-starved 3-D transposed conv.
+
+        With ``last_window=(start, length)`` the last axis' operator is
+        column-sliced before contracting, so only that output window is ever
+        computed — the windowed columns equal the same slice of the full
+        decode (same dot products; to accumulation-order noise, since the
+        narrower output changes XLA's contraction tiling).  ``start`` may be
+        traced; dynamic_slice semantics clamp start to s_out-length, so the
+        caller must keep start+length <= s_out."""
         assert coeffs.ndim == 3 + self.dim, (
             f"decode expects rank {self.dim + 3}, got {coeffs.ndim}")
         B, C = coeffs.shape[:2]
@@ -187,6 +203,14 @@ class WaveletFilterNd:
         Ts = [jnp.asarray(self._synthesis_matrix(int(s_in), int(s_out)),
                           dtype=dt)
               for s_in, s_out in zip(spatial, shape)]
+        out_shape = shape
+        if last_window is not None:
+            start, length = last_window
+            T_last = Ts[-1]
+            Ts[-1] = jax.lax.dynamic_slice(
+                T_last, (0, 0, jnp.asarray(start, jnp.int32)),
+                (T_last.shape[0], T_last.shape[1], int(length)))
+            out_shape = shape[:-1] + (int(length),)
         if self.dim == 1:
             y = jnp.einsum('nax,axX->nX', x, Ts[0],
                            precision=jax.lax.Precision.HIGHEST)
@@ -202,7 +226,7 @@ class WaveletFilterNd:
                            precision=jax.lax.Precision.HIGHEST)
             y = jnp.einsum('naxYZ,axX->nXYZ', y, Ts[0],
                            precision=jax.lax.Precision.HIGHEST)
-        return y.reshape((B, C) + shape)
+        return y.reshape((B, C) + out_shape)
 
 
 @functools.lru_cache(maxsize=None)
@@ -264,10 +288,18 @@ def encode_pyramid(filt: WaveletFilterNd, volume: jax.Array, num_levels: int | N
     return coeffs, np.asarray(shapes[::-1], dtype=int)
 
 
-def decode_pyramid(filt: WaveletFilterNd, coeffs, shapes) -> jax.Array:
-    """Inverse of :func:`encode_pyramid`; returns (C, *spatial)."""
+def decode_pyramid(filt: WaveletFilterNd, coeffs, shapes,
+                   last_window=None) -> jax.Array:
+    """Inverse of :func:`encode_pyramid`; returns (C, *spatial).
+
+    last_window: optional (start, length) — decode only that window of the
+    FINAL level's last spatial axis (grid-tile-local decode for the
+    space-sharded train step; coarser levels are tiny and decoded in full).
+    """
     restored = coeffs[0][None]  # (1, C, *s)
-    for high, shape in zip(coeffs[1:], shapes):
+    n = len(shapes)
+    for i, (high, shape) in enumerate(zip(coeffs[1:], shapes)):
         data = jnp.concatenate([restored[:, :, None], high[None]], axis=2)
-        restored = filt.decode(data, shape)
+        win = last_window if (last_window is not None and i == n - 1) else None
+        restored = filt.decode(data, shape, last_window=win)
     return restored[0]

@@ -78,24 +78,27 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda a: _put_global(a, sharding), tree)
 
 
-def make_shard_ctx(mesh: Mesh, use_space: bool = True) -> ShardCtx:
+def make_shard_ctx(mesh: Mesh, use_space: bool = True,
+                   local_decode: bool = False) -> ShardCtx:
     space = mesh.shape['space']
     return ShardCtx(
         axis_names=('data', 'space'),
         space_axis='space' if (use_space and space > 1) else None,
         n_devices=mesh.shape['data'] * space,
         space_size=space if use_space else 1,
+        local_decode=local_decode,
     )
 
 
 def make_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
-                              steps_per_chunk: int, use_space: bool = True):
+                              steps_per_chunk: int, use_space: bool = True,
+                              local_decode: bool = False):
     """jit(shard_map(scan(step))) over the mesh.
 
     Returns run(state, volume) -> (state, metrics); state must be replicated
     (see :func:`replicate`) and volume placed via :func:`shard_volume`.
     """
-    sc = make_shard_ctx(mesh, use_space)
+    sc = make_shard_ctx(mesh, use_space, local_decode)
 
     vol_spec = P('space') if sc.space_axis else P()
 
@@ -186,7 +189,8 @@ def unshard_train_state(zstate: TrainState, zc: ZeroCtx) -> TrainState:
 
 def make_zero_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
                                    steps_per_chunk: int, zc: ZeroCtx,
-                                   use_space: bool = True):
+                                   use_space: bool = True,
+                                   local_decode: bool = False):
     """jit(shard_map(scan(step))) with MODEL STATE sharded over 'space'.
 
     Same data path as :func:`make_sharded_chunk_runner` (positions
@@ -195,7 +199,7 @@ def make_zero_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
     reduce-scatters the gradient (see trainer.ZeroCtx).  State must come from
     :func:`shard_train_state`.
     """
-    sc = make_shard_ctx(mesh, use_space)
+    sc = make_shard_ctx(mesh, use_space, local_decode)
     vol_spec = P('space') if sc.space_axis else P()
 
     def chunk_body(state: TrainState, volume: jax.Array):

@@ -177,7 +177,8 @@ def training(cfg: TrainConfig, verbose: bool = True,
 
     solve_kw = dict(writer=writer, verbose=verbose, mesh=mesh,
                     use_space=use_space, timer=timer,
-                    shard_params=bool(cfg.mesh_shard_params) and mesh is not None)
+                    shard_params=bool(cfg.mesh_shard_params) and mesh is not None,
+                    local_decode=bool(cfg.mesh_local_decode))
 
     # --- phase 1: gated training (training/training.py:221-226) ------------
     ph1 = make_phase_spec(cfg, spec, meta, phase=1)

@@ -182,6 +182,11 @@ class ShardCtx:
     space_axis: Optional[str] = None
     n_devices: int = 1
     space_size: int = 1
+    # decode only the grid x-tile covering this device's volume slab
+    # (+1-cell interpolation halo) instead of the full grid — grid-tile-local
+    # decode via a column slice of the final-level synthesis operator
+    # (ops/dwt.decode_pyramid last_window); XLA interp backend only
+    local_decode: bool = False
 
 
 def _make_step_parts(ph: PhaseSpec, masks,
@@ -227,6 +232,23 @@ def _make_step_parts(ph: PhaseSpec, masks,
         assert ph.resolution[0] % sc.space_size == 0, \
             "volume X must divide the space axis"
     local_x = ph.resolution[0] // (sc.space_size if sc else 1)
+
+    # static per-device grid-tile windows for local decode (see ShardCtx)
+    use_xwin = bool(sc is not None and sc.space_axis and sc.local_decode
+                    and spec.interp_backend == 'xla')
+    if use_xwin:
+        import math as _math
+        W = spec.grid_size
+        sx = float(scales[0])
+        los, his = [], []
+        for d in range(sc.space_size):
+            pix = [(( (x / float(max_idx[0])) * 2.0 - 1.0) * sx + 1.0)
+                   * W / 2.0 - 0.5
+                   for x in (d * local_x, (d + 1) * local_x - 1)]
+            los.append(max(0, _math.floor(pix[0])))
+            his.append(min(W - 1, _math.floor(pix[1]) + 1))
+        xwin_len = max(h - l + 1 for l, h in zip(los, his))
+        xwin_los = np.asarray([min(l, W - xwin_len) for l in los], np.int32)
 
     def _device_index():
         idx = 0
@@ -277,6 +299,11 @@ def _make_step_parts(ph: PhaseSpec, masks,
             # (Variational_Dropout_Layer.py:56-58)
             weight_dkl = L.ramp_weight_dkl(weight_dkl, ph.weight_dkl_multiplier)
 
+        x_window = None
+        if use_xwin:
+            x_window = (jnp.asarray(xwin_los)[
+                jax.lax.axis_index(sc.space_axis)], xwin_len)
+
         def loss_fn(flat):
             # Differentiate wrt the FLAT parameter vector: AD then produces
             # the gradient as one vector (no 40-leaf pytree transposition),
@@ -286,7 +313,8 @@ def _make_step_parts(ph: PhaseSpec, masks,
             params, var_params = unflatten(flat)
             pred = apply_model(spec, params, norm, train=True,
                                train_gates=train_gates, rng=k_gate,
-                               masks=masks if ph.use_masks else None)
+                               masks=masks if ph.use_masks else None,
+                               x_window=x_window)
             pred = pred[:, 0]
             if ph.variational and train_gates:
                 if ph.dynamic_variational:
@@ -543,7 +571,8 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
                 metric_cb=None, verbose: bool = True, mesh=None,
                 use_space: bool = True, profile_dir: str = '',
                 timer=None, state_save_path: str = '',
-                shard_params: bool = False) -> TrainState:
+                shard_params: bool = False,
+                local_decode: bool = False) -> TrainState:
     """Run one phase until its pass budget is exhausted or early stop.
 
     mesh:            run under shard_map over a ('data','space') Mesh —
@@ -568,10 +597,12 @@ def solve_phase(ph: PhaseSpec, state: TrainState, volume: jax.Array,
         if shard_params:
             state, zc = shard_train_state(mesh, state)
             run_chunk = make_zero_sharded_chunk_runner(
-                mesh, ph, masks, steps_per_chunk, zc, use_space)
+                mesh, ph, masks, steps_per_chunk, zc, use_space,
+                local_decode)
         else:
             run_chunk = make_sharded_chunk_runner(mesh, ph, masks,
-                                                  steps_per_chunk, use_space)
+                                                  steps_per_chunk, use_space,
+                                                  local_decode)
             state = replicate(mesh, state)
         volume = shard_volume(mesh, volume, use_space)
     else:

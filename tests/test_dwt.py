@@ -143,3 +143,39 @@ def test_decode_matmul_equals_decode_conv():
             a = np.asarray(f.decode_conv(y, s))
             b = np.asarray(f._decode_matmul(y, s))
             assert np.abs(a - b).max() < 3e-6, (name, dim, shape)
+
+
+def test_decode_window_equals_full_slice():
+    """Grid-tile-local decode: a (start, length) window on the last axis must
+    equal the same slice of the full decode to accumulation-order noise
+    (the windowed operator computes the same dot products, but the narrower
+    output changes XLA's contraction tiling, so f32 sums reassociate)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    for name in ['db2', 'haar', 'bior4.4']:
+        for shape in [(15, 15, 15), (16, 12, 9)]:
+            f = WaveletFilterNd(name, 3)
+            x = rng.standard_normal((1, 4) + shape).astype(np.float32)
+            y, s = f.encode(x)
+            full = np.asarray(f.decode(y, s))
+            for start, length in [(0, 5), (min(3, shape[2] - 7), 7),
+                                  (shape[2] - 4, 4)]:
+                win = np.asarray(f.decode(y, s, last_window=(start, length)))
+                np.testing.assert_allclose(
+                    win, full[..., start:start + length],
+                    rtol=1e-6, atol=2e-6,
+                    err_msg=f'{name} {shape} {start}+{length}')
+
+
+def test_decode_pyramid_window():
+    """decode_pyramid's last_window applies at the finest level only and
+    matches the full pyramid decode slice."""
+    from latent_feature_grid_compression_tpu.ops.dwt import (
+        encode_pyramid, decode_pyramid)
+    rng = np.random.default_rng(4)
+    f = WaveletFilterNd('db2', 3)
+    grid = rng.standard_normal((4, 15, 15, 15)).astype(np.float32)
+    coeffs, shapes = encode_pyramid(f, grid)
+    full = np.asarray(decode_pyramid(f, coeffs, shapes))
+    win = np.asarray(decode_pyramid(f, coeffs, shapes, last_window=(4, 8)))
+    np.testing.assert_allclose(win, full[..., 4:12], rtol=1e-6, atol=2e-6)

@@ -304,3 +304,58 @@ def test_variational_sharded_runs():
                          shard_volume(mesh, jnp.asarray(vol)))
     assert np.isfinite(np.asarray(metrics['loss'])).all()
     assert float(state.weight_dkl) > 0.0
+
+
+class TestLocalDecode:
+    """Grid-tile-local decode (mesh_local_decode): each device decodes only
+    the grid x-window covering its volume slab + interpolation halo, via a
+    column slice of the final-level synthesis operator."""
+
+    def test_apply_model_window_matches_full(self):
+        """apply_model(x_window) == apply_model(full) for coords whose
+        interpolation support lies inside the window."""
+        from latent_feature_grid_compression_tpu.models import (
+            make_spec, init_model)
+        from latent_feature_grid_compression_tpu.models.feature_grid import (
+            apply_model)
+        spec = make_spec(grid_size=15, grid_features=8, hidden=16,
+                         num_layers=2, interp_backend='xla')
+        params, _ = init_model(jax.random.key(0), spec)
+        # coords with x in the left half of [-1, 1] -> pixel x in [~-0.5, 7]
+        rng = np.random.default_rng(0)
+        c = rng.uniform(-1, 1, (512, 3)).astype(np.float32)
+        c[:, 0] = rng.uniform(-1.0, 0.0, 512)
+        c = jnp.asarray(c)
+        full = apply_model(spec, params, c, train=True)
+        win = apply_model(spec, params, c, train=True, x_window=(0, 9))
+        np.testing.assert_allclose(np.asarray(win), np.asarray(full),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize('shard_params', [False, True])
+    def test_sharded_training_with_local_decode_matches(self, shard_params):
+        """Space-sharded training with local_decode on/off: identical RNG
+        streams -> loss trajectories must agree to f32 noise (the windowed
+        decode computes the same math)."""
+        from latent_feature_grid_compression_tpu.parallel import (
+            make_sharded_chunk_runner, make_zero_sharded_chunk_runner,
+            shard_train_state)
+        vol, ph, state = setup(n=16)
+        mesh = make_mesh(data=4, space=2)
+        v = shard_volume(mesh, jnp.asarray(vol))
+
+        def run_with(local_decode, st):
+            if shard_params:
+                zst, zc = shard_train_state(mesh, st)
+                run = make_zero_sharded_chunk_runner(
+                    mesh, ph, None, 30, zc, True, local_decode)
+                return run(zst, v)
+            run = make_sharded_chunk_runner(mesh, ph, None, 30, True,
+                                            local_decode)
+            return run(replicate(mesh, st), v)
+
+        _, m_full = run_with(False, state)
+        _, _, state2 = setup(n=16)
+        _, m_loc = run_with(True, state2)
+        np.testing.assert_allclose(np.asarray(m_loc['loss']),
+                                   np.asarray(m_full['loss']),
+                                   rtol=5e-4, atol=1e-6)
