@@ -68,6 +68,8 @@ class TrainConfig:
                                     # and the xla interp backend
     compute_dtype: str = 'float32'
     interp_backend: str = 'auto'    # 'auto' | 'xla' | 'pallas' | 'pallas_bf16'
+    mlp_backend: str = 'xla'        # 'xla' | 'pallas' (opt-in; measured
+                                    # SLOWER in-step on v5e — BENCH_NOTES r5)
     rng_impl: str = 'rbg'           # 'rbg' (TPU-hardware bit generator) |
                                     # 'threefry2x32' (jax default, slower)
     profile_dir: str = ''           # jax.profiler trace output dir

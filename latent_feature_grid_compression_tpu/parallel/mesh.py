@@ -10,9 +10,13 @@ training/training.py:15; see SURVEY.md §2.3):
       to global IID sampling when slabs are equal).  This is the
       sequence-parallel analogue for this point-sampled workload and keeps
       per-device volume memory at X/space * Y * Z.
-* Model/optimizer state is replicated; gradients are pmean'd over both axes
-  inside the step (XLA lowers this to ICI all-reduce overlapped with the
-  backward), after which every device applies the identical Adam update.
+* Model/optimizer state: replicated by default — gradients are pmean'd over
+  both axes inside the step (lowered by XLA to an ICI all-reduce; whether it
+  overlaps the backward is XLA's scheduling choice and has not been timed on
+  real multi-chip hardware — single-chip image) — or ZeRO-sharded over
+  'space' via :func:`shard_train_state` (all_gather params /
+  reduce_scatter grads; same per-step communication volume, 1/space the
+  state memory).
 * Multi-host: build the mesh over jax.devices() after jax.distributed
   initialization; the per-device PRNG fold_in is by linear mesh index, so
   sampling statistics are invariant to host count.

@@ -141,7 +141,8 @@ def training(cfg: TrainConfig, verbose: bool = True,
                      drop_threshold=cfg.drop_threshold,
                      pruning_threshold_list=cfg.pruning_threshold_list,
                      interp_backend=cfg.interp_backend,
-                     compute_dtype=cfg.compute_dtype)
+                     compute_dtype=cfg.compute_dtype,
+                     mlp_backend=cfg.mlp_backend)
 
     # rbg: XLA RngBitGenerator for the per-step (N, 3) position draws — the
     # threefry lowering costs a measurable slice of the fused step on TPU.
