@@ -231,6 +231,40 @@ def make_zero_sharded_chunk_runner(mesh: Mesh, ph: PhaseSpec, masks,
     return jax.jit(run)
 
 
+def comm_volume_per_step(n_params: int, data: int, space: int,
+                         shard_params: bool = False,
+                         bytes_per_el: int = 4) -> dict:
+    """Analytic per-step inter-chip communication volume (bytes).
+
+    Single-chip image: real multi-chip wall-clock cannot be measured here,
+    but the collective traffic is fully determined by the design, so this
+    bounds scaling cost (SURVEY §2.3).  Ring-collective cost model: an
+    all-reduce of B bytes over an n-device ring moves 2*B*(n-1)/n per
+    device; all_gather / reduce_scatter move B*(n-1)/n each.
+
+    Replicated mode: ONE fused all-reduce of the flat gradient over all
+    devices (the loss/aux scalar pmeans are noise).  ZeRO mode: params
+    all_gather over 'space' + psum_scatter over 'space' FIRST, then a
+    pmean over 'data' of the 1/space-sized local shard (the trainer orders
+    it this way on purpose — scatter-last would all-reduce the full vector
+    over 'data': +2P(data-1)/data vs +2(P/space)(data-1)/data bytes).
+    With that order ZeRO traffic equals the replicated all-reduce volume
+    at data=1 and is strictly below it otherwise, while storing 1/space of
+    the state.
+    """
+    n = data * space
+    P = n_params * bytes_per_el
+    if not shard_params:
+        per_dev = 2.0 * P * (n - 1) / n if n > 1 else 0.0
+        return {'allreduce_grad': per_dev, 'total_per_device': per_dev}
+    ag = P * (space - 1) / space if space > 1 else 0.0
+    rs = P * (space - 1) / space if space > 1 else 0.0
+    ar_data = (2.0 * (P / space) * (data - 1) / data) if data > 1 else 0.0
+    total = ag + rs + ar_data
+    return {'allgather_params': ag, 'reduce_scatter_grad': rs,
+            'allreduce_local_grad_data': ar_data, 'total_per_device': total}
+
+
 def solve_phase_sharded(mesh: Mesh, ph: PhaseSpec, state: TrainState,
                         volume: jax.Array, steps_per_chunk: int, masks=None,
                         use_space: bool = True, writer=None, verbose=True):

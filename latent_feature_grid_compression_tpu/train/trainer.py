@@ -358,14 +358,18 @@ def _make_step_parts(ph: PhaseSpec, masks,
 
         t = state.step + 1
         if zc is not None:
-            # reduce-scatter instead of all-reduce: mean over the pure-data
-            # axes, then psum_scatter over the shard axis hands each device
-            # exactly the gradient slice for the parameters it owns
+            # reduce-scatter instead of all-reduce: psum_scatter over the
+            # shard axis FIRST (each device then holds only its slice), and
+            # only then mean over the pure-data axes on the 1/space-sized
+            # shard — the reductions commute, and this order makes the total
+            # traffic exactly equal the replicated all-reduce volume
+            # (scatter-last would pmean the FULL vector over 'data' first:
+            # +43% bytes at data=4/space=2; see comm_volume_per_step)
             data_axes = tuple(a for a in sc.axis_names if a != zc.axis)
-            if data_axes:
-                g_flat = jax.lax.pmean(g_flat, data_axes)
             g_local = (jax.lax.psum_scatter(g_flat, zc.axis, tiled=True)
                        / jax.lax.axis_size(zc.axis))
+            if data_axes:
+                g_local = jax.lax.pmean(g_local, data_axes)
             flat_new, m, v = _adam_update_flat(
                 state.params, g_local, state.m, state.v,
                 t.astype(jnp.float32), state.lr)

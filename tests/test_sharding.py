@@ -359,3 +359,19 @@ class TestLocalDecode:
         np.testing.assert_allclose(np.asarray(m_loc['loss']),
                                    np.asarray(m_full['loss']),
                                    rtol=5e-4, atol=1e-6)
+
+
+def test_comm_volume_accounting():
+    """ZeRO mode must not exceed replicated-mode traffic at equal mesh, and
+    pure-space ZeRO must equal the replicated all-reduce volume exactly
+    (all_gather + reduce_scatter == all-reduce)."""
+    from latent_feature_grid_compression_tpu.parallel.mesh import (
+        comm_volume_per_step)
+    P = 113521
+    rep = comm_volume_per_step(P, data=1, space=8)
+    zero = comm_volume_per_step(P, data=1, space=8, shard_params=True)
+    assert zero['total_per_device'] == pytest.approx(rep['total_per_device'])
+    rep2 = comm_volume_per_step(P, data=4, space=2)
+    zero2 = comm_volume_per_step(P, data=4, space=2, shard_params=True)
+    assert zero2['total_per_device'] <= rep2['total_per_device'] * 1.01
+    assert comm_volume_per_step(P, 1, 1)['total_per_device'] == 0.0
