@@ -267,9 +267,12 @@ def comm_volume_per_step(n_params: int, data: int, space: int,
 
 def solve_phase_sharded(mesh: Mesh, ph: PhaseSpec, state: TrainState,
                         volume: jax.Array, steps_per_chunk: int, masks=None,
-                        use_space: bool = True, writer=None, verbose=True):
+                        use_space: bool = True, writer=None, verbose=True,
+                        shard_params: bool = False,
+                        local_decode: bool = False):
     """Sharded analogue of trainer.solve_phase (thin delegate)."""
     from ..train.trainer import solve_phase
     return solve_phase(ph, state, volume, steps_per_chunk, masks=masks,
                        writer=writer, verbose=verbose, mesh=mesh,
-                       use_space=use_space)
+                       use_space=use_space, shard_params=shard_params,
+                       local_decode=local_decode)
