@@ -168,7 +168,8 @@ def main():
         field_from_net)
     eval_spec = make_spec(grid_size=cfg.grid_size,
                           grid_features=cfg.grid_features,
-                          hidden=cfg.n_hidden_size, num_layers=cfg.n_layers)
+                          hidden=cfg.n_hidden_size, num_layers=cfg.n_layers,
+                          interp_backend='auto')
     _ = field_from_net(eval_spec, state.params.replace(gates=None), meta)
     t0 = time.perf_counter()
     _ = field_from_net(eval_spec, state.params.replace(gates=None), meta)

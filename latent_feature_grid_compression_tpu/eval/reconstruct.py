@@ -55,6 +55,12 @@ def field_from_net(spec: ModelSpec, params: ModelParams, meta: VolumeMeta,
             raw = jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
             c = (raw / max_idx[None]) * 2.0 - 1.0
             c = c * scales[None]
+            # ALWAYS the gather path here, independent of spec.interp_backend:
+            # the pallas one-hot kernel wins in the TRAIN step (fwd+bwd,
+            # 32k-sample batches) but measured 5x SLOWER on eval's 262k-sample
+            # forward-only chunks (r5 bench: 4.1 -> 0.85 Msamples/s) — its
+            # O(N*M) matmul formulation pays off only against the backward
+            # scatter it eliminates, which eval does not have.
             feats = grid_sample_3d(grid, c)
             emb = fourier_embed(c, spec.n_freqs)
             x = jnp.concatenate([c, emb, feats], axis=-1)
