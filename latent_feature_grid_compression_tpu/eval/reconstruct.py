@@ -75,6 +75,67 @@ def field_from_net(spec: ModelSpec, params: ModelParams, meta: VolumeMeta,
     return full.reshape(meta.resolution).astype(np.float32)
 
 
+def eval_stats_on_device(spec: ModelSpec, params: ModelParams,
+                         meta: VolumeMeta, volume_dev: jax.Array,
+                         chunk: int = 1 << 18):
+    """PSNR/L1/MSE/RMSE computed entirely on device — ONE scalar fetch.
+
+    Same reconstruction math as :func:`field_from_net`, but the deviation
+    sums accumulate inside the jitted lax.map against the device-resident GT
+    volume, so the full predicted volume never crosses the host link.  On
+    the remote-TPU image that link moves ~4 MB/s: fetching the 66 MB 255^3
+    volume costs ~16 s while the reconstruction itself is 0.47 s (35 Ms/s,
+    r5 measurement) — this path makes write_vols=False evaluations (NAS
+    trials, dryrun, tests) compute-bound again.  Accumulation is two-level
+    f32 (per-chunk sums, then a sum over chunks): PSNR agrees with the f64
+    host path to <1e-4 dB on the e2e tests.
+    """
+    X, Y, Z = meta.resolution
+    n = meta.n_voxels
+    n_chunks = math.ceil(n / chunk)
+    scales = jnp.asarray(meta.scales)
+    max_idx = jnp.asarray(meta.max_idx)
+
+    @jax.jit
+    def stats(params, vol):
+        grid = decode_volume(spec, params)
+        # row-major chunks are CONTIGUOUS in the flat volume: pad once and
+        # dynamic_slice the GT per chunk (a gather here costs ~3x the slice)
+        flat = jnp.pad(vol.reshape(-1), (0, n_chunks * chunk - n))
+
+        def eval_chunk(start):
+            lin = start + jnp.arange(chunk, dtype=jnp.int32)
+            valid = lin < n
+            lin = jnp.minimum(lin, n - 1)
+            iz = lin % Z
+            iy = (lin // Z) % Y
+            ix = lin // (Y * Z)
+            raw = jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
+            c = (raw / max_idx[None]) * 2.0 - 1.0
+            c = c * scales[None]
+            feats = grid_sample_3d(grid, c)
+            emb = fourier_embed(c, spec.n_freqs)
+            x = jnp.concatenate([c, emb, feats], axis=-1)
+            out = mlp_apply(list(params.mlp_w), list(params.mlp_b), x,
+                            snake_alt)
+            pred = jnp.clip(out[:, 0], -1.0, 1.0)
+            gt = jax.lax.dynamic_slice(flat, (start,), (chunk,))
+            diff = jnp.where(valid, gt - pred, 0.0)
+            return jnp.stack([jnp.sum(diff * diff), jnp.sum(jnp.abs(diff))])
+
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        sums = jnp.sum(jax.lax.map(eval_chunk, starts), axis=0)
+        rng = jnp.max(vol) - jnp.min(vol)
+        return jnp.concatenate([sums, rng[None]])
+
+    sum_sq, sum_abs, rng = (float(v) for v in np.asarray(
+        stats(params, volume_dev)))
+    mse = sum_sq / n
+    l1 = sum_abs / n
+    psnr = 10.0 * math.log10((rng * rng) / mse) if mse > 0 else float('inf')
+    return psnr, l1, mse, math.sqrt(mse)
+
+
 def deviation_statistics(prediction: np.ndarray, ground_truth: np.ndarray):
     """PSNR/L1/MSE/RMSE (OutputToVTK.py:53-60): PSNR over the GT dynamic range."""
     diff = ground_truth.astype(np.float64) - prediction.astype(np.float64)
@@ -87,9 +148,20 @@ def deviation_statistics(prediction: np.ndarray, ground_truth: np.ndarray):
 
 def tiled_net_out(spec: ModelSpec, params: ModelParams, meta: VolumeMeta,
                   gt_vol: Optional[np.ndarray] = None, evaluate: bool = True,
-                  write_vols: bool = False, filename: str = 'vol'):
+                  write_vols: bool = False, filename: str = 'vol',
+                  gt_dev: Optional[jax.Array] = None):
     """Reconstruct, optionally compute stats and write .vti volumes
-    (OutputToVTK.py:64-82 contract)."""
+    (OutputToVTK.py:64-82 contract).
+
+    When no volume files are requested, the stats come from
+    :func:`eval_stats_on_device` (one scalar fetch instead of pulling the
+    full predicted volume to the host); pass ``gt_dev`` to reuse an already
+    device-resident GT volume and skip the upload too.
+    """
+    if evaluate and not write_vols and (gt_dev is not None
+                                        or gt_vol is not None):
+        vol_dev = gt_dev if gt_dev is not None else jnp.asarray(gt_vol)
+        return eval_stats_on_device(spec, params, meta, vol_dev)
     full_vol = field_from_net(spec, params, meta)
     psnr, l1, mse, rmse = 0.0, 0.0, 0.0, 0.0
     if evaluate and gt_vol is not None:

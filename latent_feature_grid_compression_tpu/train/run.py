@@ -48,7 +48,8 @@ def _make_writer(cfg: TrainConfig):
 
 
 def evaluate_model_training(spec, params, meta, volume_np, zeros, cfg,
-                            writer=None, verbose=True, write_vols=True):
+                            writer=None, verbose=True, write_vols=True,
+                            volume_dev=None):
     """Final evaluation + artifact dump (training/training.py:19-68)."""
     experiment_path = os.path.abspath(os.getcwd()) + cfg.basedir + cfg.expname + '/'
     os.makedirs(experiment_path, exist_ok=True)
@@ -56,7 +57,8 @@ def evaluate_model_training(spec, params, meta, volume_np, zeros, cfg,
     psnr, l1_diff, mse, rmse = tiled_net_out(
         spec, params, meta, gt_vol=volume_np, evaluate=True,
         write_vols=write_vols,
-        filename=os.path.join(experiment_path, 'vol') if write_vols else 'vol')
+        filename=os.path.join(experiment_path, 'vol') if write_vols else 'vol',
+        gt_dev=volume_dev)
 
     n_params = num_net_params(params)
     compression_ratio = meta.n_voxels / (n_params - zeros)
@@ -232,7 +234,7 @@ def training(cfg: TrainConfig, verbose: bool = True,
     params = remove_drop_layers(spec, params, masks)
     info = evaluate_model_training(spec, params, meta, volume_np, zeros, cfg,
                                    writer=writer, verbose=verbose,
-                                   write_vols=write_vols)
+                                   write_vols=write_vols, volume_dev=volume)
     info.update({'train_' + k: v for k, v in timer.stats().items()})
     write_dict(info, 'info.txt', experiment_path)
     write_dict({'phase': 'done'}, 'resume_meta.txt', experiment_path)
