@@ -256,3 +256,47 @@ def plot_weight_histograms(params, out_path: str) -> str:
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
     return out_path
+
+
+def save_pgf(fig, out_path: str) -> str:
+    """Export a figure as LaTeX .pgf (reference generate_plot.py uses
+    tikzplotlib for its thesis figures; matplotlib's native pgf backend
+    covers the same include-in-LaTeX use without the extra dependency).
+
+    Requires a TeX engine on PATH (the pgf backend shells out for text
+    metrics); raises a clear error otherwise."""
+    import shutil
+    if not any(shutil.which(t) for t in ('xelatex', 'lualatex', 'pdflatex')):
+        raise RuntimeError(
+            'save_pgf needs a TeX engine (xelatex/lualatex/pdflatex) on '
+            'PATH for matplotlib\'s pgf backend; none found')
+    if not out_path.endswith('.pgf'):
+        out_path += '.pgf'
+    fig.savefig(out_path, backend='pgf')
+    return out_path
+
+
+def mlflow_best_run(metric: str, experiment_name: str, maximize: bool = True):
+    """Best-run query against an MLflow tracking server (reference
+    visualization/pltUtils.py:7-21 surface).
+
+    Neither implementation's TRAINING path writes MLflow — the reference
+    reads a server populated out-of-band — so this is only usable where such
+    a server exists; mlflow itself is an optional dependency.
+    """
+    try:
+        from mlflow.tracking import MlflowClient
+    except ImportError as e:
+        raise ImportError(
+            'mlflow is not installed; mlflow_best_run mirrors the reference '
+            'pltUtils.get_best_run_with_description surface and needs an '
+            'MLflow tracking server populated out-of-band') from e
+    client = MlflowClient()
+    exp = client.get_experiment_by_name(experiment_name)
+    if exp is None:
+        raise ValueError(f'no MLflow experiment named {experiment_name!r}')
+    order = 'DESC' if maximize else 'ASC'
+    runs = client.search_runs([exp.experiment_id],
+                              order_by=[f'metrics.{metric} {order}'],
+                              max_results=1)
+    return runs[0] if runs else None

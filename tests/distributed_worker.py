@@ -73,8 +73,30 @@ def main():
     flat, _ = ravel_pytree(jax.device_get(
         jax.tree.map(lambda a: np.asarray(a.addressable_shards[0].data),
                      state.params)))
-    print(f'RESULT {losses[-1]:.8e} {float(np.sum(np.abs(flat))):.8e}',
-          flush=True)
+
+    # --- same chunk again with ZeRO-sharded model state + tile-local decode:
+    # identical keys -> identical sampling streams, so the loss trajectory
+    # must match the replicated run to f32 collective-order noise — this
+    # proves the cross-process all_gather/psum_scatter state path end-to-end
+    from latent_feature_grid_compression_tpu.parallel.mesh import (
+        shard_train_state, make_zero_sharded_chunk_runner)
+    params2, aux2 = init_model(jax.random.key(0), spec)
+    state2 = init_train_state(params2, None, aux2, cfg.lr, cfg.lr,
+                              jax.random.key(1), cfg.lambda_drop_loss)
+    zstate, zc = shard_train_state(mesh, state2)
+    zrun = make_zero_sharded_chunk_runner(mesh, ph, None, 20, zc,
+                                          use_space=True, local_decode=True)
+    zstate, zmetrics = zrun(zstate, volume)
+    zlosses = np.asarray(jax.device_get(zmetrics['loss']))
+    assert np.allclose(zlosses, losses, rtol=5e-4, atol=1e-6), \
+        (zlosses[:3], losses[:3])
+    # per-device shard shapes: state really is sharded over 'space'
+    n_pad = -(-zc.n_params // 2) * 2
+    for s in zstate.params.addressable_shards:
+        assert s.data.shape == (n_pad // 2,), s.data.shape
+
+    print(f'RESULT {losses[-1]:.8e} {float(np.sum(np.abs(flat))):.8e} '
+          f'{zlosses[-1]:.8e}', flush=True)
 
 
 if __name__ == '__main__':

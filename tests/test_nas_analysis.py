@@ -223,3 +223,32 @@ def test_read_trial_metrics_tb_roundtrip(tmp_path):
     # neither -> failed trial
     assert read_trial_metrics(str(tmp_path / 'missing'),
                               str(tmp_path / 'nope')) is None
+
+
+def test_save_pgf(tmp_path):
+    import shutil
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    import pytest
+    from latent_feature_grid_compression_tpu.utils.plots import save_pgf
+    fig, ax = plt.subplots()
+    ax.plot([1, 2], [3, 4])
+    if any(shutil.which(t) for t in ('xelatex', 'lualatex', 'pdflatex')):
+        out = save_pgf(fig, str(tmp_path / 'fig'))
+        assert open(out).read()
+    else:
+        with pytest.raises(RuntimeError, match='TeX engine'):
+            save_pgf(fig, str(tmp_path / 'fig'))
+
+
+def test_mlflow_best_run_guarded():
+    import pytest
+    from latent_feature_grid_compression_tpu.utils.plots import mlflow_best_run
+    try:
+        import mlflow  # noqa: F401
+        pytest.skip('mlflow installed; guarded-path test not applicable')
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match='mlflow'):
+        mlflow_best_run('psnr', 'exp')
