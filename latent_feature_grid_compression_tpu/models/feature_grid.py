@@ -139,17 +139,27 @@ def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
     else:
         raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16'; "
                          f"got {compute_dtype!r}")
-    filt = WaveletFilter3d(wavelet)
-    num_levels = dwt_max_level(grid_size, filt.filter_length)
-    # level shapes: run the shape recursion of encode_pyramid without data
-    shapes = []
-    s = np.array([grid_size] * 3)
-    for _ in range(num_levels):
-        shapes.append(tuple(int(v) for v in s))
-        pad_lo = (2 * filt.filter_length - 3) // 2
-        s = (s + pad_lo * 2 + (s % 2) - filt.filter_length) // 2 + 1
-    level_shapes = tuple(shapes[::-1])
-    n_tensors = num_levels + 1
+    if wavelet in ('', 'none'):
+        # no-wavelet mode: the feature grid is stored/gated in the spatial
+        # domain directly (one coefficient tensor, zero decode levels — the
+        # ablation axis of the reference's wavelet-gain study,
+        # README.md:59-60 / plots/wavelet_gain.JPG, which its CLI itself
+        # never exposed)
+        wavelet = 'none'
+        level_shapes = ()
+        n_tensors = 1
+    else:
+        filt = WaveletFilter3d(wavelet)
+        num_levels = dwt_max_level(grid_size, filt.filter_length)
+        # level shapes: run the shape recursion of encode_pyramid without data
+        shapes = []
+        s = np.array([grid_size] * 3)
+        for _ in range(num_levels):
+            shapes.append(tuple(int(v) for v in s))
+            pad_lo = (2 * filt.filter_length - 3) // 2
+            s = (s + pad_lo * 2 + (s % 2) - filt.filter_length) // 2 + 1
+        level_shapes = tuple(shapes[::-1])
+        n_tensors = num_levels + 1
     if pruning_threshold_list:
         # reference assigns list entries to gate instances in construction
         # order == our coefficient order (lowpass, coarsest detail, ...).
@@ -189,8 +199,12 @@ def init_model(key: jax.Array, spec: ModelSpec):
     k_grid, k_mlp, k_gate = jax.random.split(key, 3)
     grid = jax.random.uniform(
         k_grid, (spec.grid_features,) + (spec.grid_size,) * 3, jnp.float32)
-    coeffs, shapes = encode_pyramid(spec.filter(), grid, spec.num_levels)
-    assert tuple(tuple(int(v) for v in s) for s in shapes) == spec.level_shapes
+    if spec.num_levels == 0:
+        coeffs = [grid]
+    else:
+        coeffs, shapes = encode_pyramid(spec.filter(), grid, spec.num_levels)
+        assert tuple(tuple(int(v) for v in s)
+                     for s in shapes) == spec.level_shapes
 
     mlp_w, mlp_b = init_mlp(k_mlp, spec.mlp_in, spec.hidden, spec.d_out,
                             spec.num_layers)
@@ -232,6 +246,14 @@ def decode_volume(spec: ModelSpec, params: ModelParams, *,
             for i, c in enumerate(coeffs))
     elif masks is not None:
         coeffs = tuple(c * m[None] for c, m in zip(coeffs, masks))
+    if spec.num_levels == 0:
+        # no-wavelet mode: the gated grid IS the spatial feature volume
+        grid = coeffs[0]
+        if x_window is not None:
+            start, length = x_window
+            grid = jax.lax.dynamic_slice_in_dim(
+                grid, jnp.asarray(start, jnp.int32), int(length), axis=3)
+        return grid
     return decode_pyramid(spec.filter(), list(coeffs),
                           np.asarray(spec.level_shapes),
                           last_window=x_window)

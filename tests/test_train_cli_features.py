@@ -303,3 +303,37 @@ def test_epoch_boundary_early_stop_quirk():
     live = int(np.sum(np.asarray(metrics['lr']) > 0))
     assert int(state.step) == 16, int(state.step)
     assert live == 16, live
+
+
+def test_no_wavelet_mode(tmp_path):
+    """wavelet_filter = none: the feature grid is gated/pruned in the
+    spatial domain with zero decode levels (the ablation axis of the
+    reference's wavelet-gain study, README.md:59-60, which its CLI never
+    exposed).  Full pipeline: train, bake, prune, serialize, eval."""
+    import os
+    import numpy as np
+    import jax
+    from latent_feature_grid_compression_tpu.config import TrainConfig
+    from latent_feature_grid_compression_tpu.models import make_spec, init_model
+    from latent_feature_grid_compression_tpu.train import training
+
+    spec = make_spec(grid_size=10, grid_features=6, hidden=16, num_layers=2,
+                     wavelet='none', drop_type='smallify')
+    assert spec.num_levels == 0
+    params, _ = init_model(jax.random.key(0), spec)
+    assert len(params.coeffs) == 1
+    assert params.coeffs[0].shape == (6, 10, 10, 10)
+
+    n = 24
+    x, y, z = np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing='ij')
+    vol = (np.sin(3 * x) * np.cos(2 * y) * np.sin(2 * z)).astype(np.float32)
+    cfg = TrainConfig(expname='nowav', data='',
+                      basedir=f'/{os.path.relpath(tmp_path)}/',
+                      drop_type='smallify', wavelet_filter='none',
+                      max_pass=6, batch_size=128, sample_size=8,
+                      grid_size=10, grid_features=6, n_hidden_size=16,
+                      n_layers=2, lr=0.01, steps_per_chunk=16,
+                      lambda_drop_loss=1e-6)
+    info = training(cfg, verbose=False, volume_np=vol, write_vols=False)
+    assert info['psnr'] > 20.0, info
+    assert info['num_zeros'] > 0
