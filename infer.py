@@ -34,7 +34,8 @@ def create_model_from_checkpoint(cfg):
 
 
 def create_model_from_binary_file(cfg):
-    return restore_model(cfg.binary_checkpoint_path)
+    return restore_model(cfg.binary_checkpoint_path,
+                         wavelet=cfg.wavelet_filter)
 
 
 def main():

@@ -173,12 +173,15 @@ def store_model_parameters(spec: ModelSpec, params: ModelParams, filename: str,
     write_mask_bnr(np.concatenate(mask_bits), filename + '_mask.bnr')
 
 
-def restore_model(filename: str):
+def restore_model(filename: str, wavelet: str = 'db2'):
     """Rebuild (spec, params) from a packed container (model_utils.py:222-332).
 
     The architecture not stored in the header is fixed to the reference's
     defaults: fourier embedding with 2 bands, db2 wavelet, no gates
-    (model_utils.py:309-313)."""
+    (model_utils.py:309-313).  ``wavelet`` overrides the db2 default —
+    callers that hold the experiment config (infer.py) pass its
+    wavelet_filter so haar/bior/none-mode containers restore with the right
+    pyramid shapes (the reference cannot: its restore has no config)."""
     with open(filename, 'rb') as f:
         def rd(fmt, n):
             return struct.unpack(fmt, f.read(n))
@@ -251,7 +254,7 @@ def restore_model(filename: str):
     spec = make_spec(d_in=input_channel, hidden=layer_width,
                      d_out=output_dim, num_layers=n_layers,
                      n_freqs=2, grid_features=feature_size,
-                     grid_size=grid_size, wavelet='db2', drop_type='')
+                     grid_size=grid_size, wavelet=wavelet, drop_type='')
     params, _ = init_model(jax.random.key(0), spec)
     assert len(params.coeffs) == n_grids, (len(params.coeffs), n_grids)
 

@@ -160,3 +160,25 @@ def test_container_roundtrip_with_fully_pruned_levels():
         np.testing.assert_array_equal(np.asarray(p2.coeffs[0]), 0.0)
         for c, c2 in zip(p.coeffs, p2.coeffs):
             assert float(jnp.abs(c - c2).max()) < 0.05   # 8-bit quant error
+
+
+@pytest.mark.parametrize('wavelet', ['none', 'haar'])
+def test_container_roundtrip_nondefault_wavelet(wavelet, tmp_path):
+    """Containers from haar/none-mode models restore when the caller passes
+    the config's wavelet (the db2 default would rebuild the wrong pyramid
+    — the bug infer.py hit on the r5 no-wavelet flagship run)."""
+    spec = make_spec(grid_size=10, grid_features=4, hidden=16, num_layers=2,
+                     wavelet=wavelet)
+    params, _ = init_model(jax.random.key(3), spec)
+    path = str(tmp_path / 'bin')
+    store_model_parameters(spec, params, path, kmeans_seed=0)
+    spec2, params2 = restore_model(path, wavelet=wavelet)
+    assert spec2.num_levels == spec.num_levels
+    assert len(params2.coeffs) == len(params.coeffs)
+    for a, b in zip(params.coeffs, params2.coeffs):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0.05)
+    # db2 default must fail loudly, not restore garbage
+    if wavelet == 'none':
+        with pytest.raises(AssertionError):
+            restore_model(path)
