@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.volume import VolumeMeta, lattice_coords
-from ..models.feature_grid import ModelSpec, ModelParams, apply_model, decode_volume
+from ..data.volume import VolumeMeta
+from ..models.feature_grid import ModelSpec, ModelParams, decode_volume
 from ..ops.embedding import fourier_embed
 from ..ops.interpolation import grid_sample_3d
 from ..ops.mlp import mlp_apply, snake_alt

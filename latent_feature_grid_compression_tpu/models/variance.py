@@ -8,7 +8,6 @@ the optimizer, training/training.py:80-84).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..ops.mlp import init_mlp, mlp_apply
 

@@ -26,7 +26,6 @@ TPU-native re-design of reference training/training.py:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax

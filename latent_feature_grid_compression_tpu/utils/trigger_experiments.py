@@ -13,7 +13,6 @@ import subprocess
 import sys
 from typing import Dict, List, Optional, Sequence
 
-from ..config import load_config
 from .analysis import collect_experiments, targets_from_frontier
 
 
