@@ -54,7 +54,8 @@ def run_ab(tmp_path, drop_type, expname, stream_matched=False, **cfg_kw):
     spec = make_spec(grid_size=cfg.grid_size, grid_features=cfg.grid_features,
                      hidden=cfg.n_hidden_size, num_layers=cfg.n_layers,
                      drop_type=cfg.drop_type, drop_momentum=cfg.drop_momentum,
-                     drop_threshold=cfg.drop_threshold)
+                     drop_threshold=cfg.drop_threshold,
+                     wavelet=cfg.wavelet_filter)
     # identical init to what training() derives from cfg.seed
     k_model, k_var, k_train = jax.random.split(jax.random.key(cfg.seed), 3)
     params, _ = init_model(k_model, spec)
@@ -174,6 +175,21 @@ def test_ab_dynamic_variational_stream_matched(tmp_path):
     # 408.75 zeros), so the cross-implementation count gate is necessarily
     # loose here (measured 440.75 vs 392.75)
     assert info['num_zeros'] == pytest.approx(zeros_torch, rel=0.15), \
+        (info['num_zeros'], zeros_torch)
+
+
+@pytest.mark.slow
+def test_ab_no_wavelet_smallify_stream_matched(tmp_path):
+    """wavelet_filter = none (r5 spatial-domain mode): the torch mirror
+    gates/prunes the raw grid with zero decode levels — stream-matched
+    equality shows the mode's training dynamics match the same reference
+    semantics as the wavelet path."""
+    info, psnr_torch, zeros_torch = run_ab(
+        tmp_path, 'smallify', 'absm_nowav', stream_matched=True,
+        wavelet_filter='none', lambda_drop_loss=2e-5,
+        lambda_weight_loss=1e-8)
+    assert abs(info['psnr'] - psnr_torch) < 0.05, (info['psnr'], psnr_torch)
+    assert info['num_zeros'] == pytest.approx(zeros_torch, rel=0.02), \
         (info['num_zeros'], zeros_torch)
 
 

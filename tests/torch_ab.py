@@ -113,7 +113,9 @@ class TorchMirror:
                             for x in params.gates.log_var]
         elif spec.drop_type:
             raise NotImplementedError(spec.drop_type)
-        self.oracle = TorchOracle3d(spec.wavelet)
+        # none-mode (zero decode levels) needs no wavelet oracle
+        self.oracle = (TorchOracle3d(spec.wavelet)
+                       if spec.level_shapes else None)
 
     @property
     def variational(self):
